@@ -1,0 +1,209 @@
+"""Unit tests for yolo_tpu.ops — math, boxes, geometry.
+
+Geometry cases are checked against the reference's hand-expanded sympy
+closed form (licence_plate_render/__init__.py:352-377, reproduced
+numerically here from the published algebra, not the code) and against
+OpenCV-equivalent homography behaviour.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_tpu.config import builtin_spec
+from yolo_tpu.ops import (CameraIntrinsics, GridTables, PlateProjector,
+                          anchor_ltrb_table, homography_from_4pts,
+                          inv_sigmoid, iou_ltrb, ltrb_to_yxhw,
+                          make_grid_tables, sigmoid, warp_perspective,
+                          yxhw_to_ltrb)
+from yolo_tpu.ops.boxes import level_offsets, merge_and_slice
+from yolo_tpu.ops.geometry import (apply_homography, bilinear_sample,
+                                   np_project_corners, unwarp_plate,
+                                   warp_affine)
+
+
+def test_sigmoid_roundtrip():
+    t = jnp.linspace(-6, 6, 25)
+    np.testing.assert_allclose(inv_sigmoid(sigmoid(t)), t, atol=1e-4)
+
+
+def test_box_roundtrip():
+    box = jnp.asarray([[0.5, 0.4, 0.2, 0.3]])
+    np.testing.assert_allclose(ltrb_to_yxhw(yxhw_to_ltrb(box)), box, atol=1e-6)
+
+
+def test_iou_identity_and_disjoint():
+    label = jnp.asarray([0.5, 0.5, 0.2, 0.2])
+    same = yxhw_to_ltrb(label[None])[0]
+    disjoint = jnp.asarray([0.9, 0.9, 1.0, 1.0])
+    ious = iou_ltrb(jnp.stack([same, disjoint]), label)
+    np.testing.assert_allclose(ious[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(ious[1], 0.0, atol=1e-6)
+
+
+def test_iou_half_overlap():
+    label = jnp.asarray([0.5, 0.5, 0.2, 0.2])
+    shifted = jnp.asarray([0.4, 0.4, 0.5, 0.6])  # half-width shift in x
+    iou = iou_ltrb(shifted, label)
+    # inter = 0.1 * 0.2 = 0.02; union = 0.02 + 0.04 - 0.02 = 0.04
+    np.testing.assert_allclose(iou, 0.5, atol=1e-5)
+
+
+def test_grid_tables_match_reference_layout():
+    spec = builtin_spec("car_v1")
+    assert spec.steps == [16, 32, 64]
+    assert spec.areas == [640, 160, 40]
+    g = make_grid_tables(spec.size, spec.steps, spec.all_anchors)
+    total = sum(spec.areas)
+    assert g.y.shape == (total, 3, 1)
+    # first level: row-major 20x32 grid at stride 16
+    np.testing.assert_allclose(g.step[0, :, 0], 16.0)
+    np.testing.assert_allclose(g.y[0, 0, 0], 0.0)
+    np.testing.assert_allclose(g.x[1, 0, 0], 16.0)   # second cell, next col
+    np.testing.assert_allclose(g.y[32, 0, 0], 16.0)  # next row (32 cols)
+    # level offsets / level ids
+    off = level_offsets(spec.areas)
+    assert off == [0, 640, 800]
+    assert int(g.level[639]) == 0 and int(g.level[640]) == 1
+    # anchors repeat per-cell
+    np.testing.assert_allclose(np.asarray(g.h[0, :, 0]),
+                               np.asarray(spec.all_anchors[0])[:, 0])
+
+
+def test_anchor_ltrb_table_centres():
+    spec = builtin_spec("car_v1")
+    tbl = anchor_ltrb_table(spec.size, spec.steps, spec.all_anchors)
+    assert tbl.shape == (840, 3, 4)
+    # cell 0 of level 0: centre at (8/320, 8/512)
+    ctr_y = (tbl[0, 0, 1] + tbl[0, 0, 3]) / 2
+    ctr_x = (tbl[0, 0, 0] + tbl[0, 0, 2]) / 2
+    np.testing.assert_allclose(ctr_y, 8.0 / 320, atol=1e-6)
+    np.testing.assert_allclose(ctr_x, 8.0 / 512, atol=1e-6)
+    h = tbl[0, 0, 3] - tbl[0, 0, 1]
+    np.testing.assert_allclose(h, spec.all_anchors[0][0][0], atol=1e-6)
+
+
+def test_merge_and_slice():
+    a = jnp.ones((2, 4, 3, 30))
+    b = jnp.zeros((2, 2, 3, 30))
+    parts = merge_and_slice([a, b], [1, 3, 5, 6, 30])
+    assert [p.shape[-1] for p in parts] == [1, 2, 2, 1, 24]
+    assert parts[0].shape == (2, 6, 3, 1)
+
+
+# ----------------------------------------------------------------------
+# geometry
+# ----------------------------------------------------------------------
+def _reference_closed_form(pose, cam: CameraIntrinsics):
+    """The hand-expanded projection the reference derived with sympy —
+    re-evaluated independently to pin our rotation/corner conventions."""
+    X, Y, Z, r1, r2, r3 = pose
+    sin, cos = math.sin, math.cos
+    a = sin(r1) * cos(r2) * 84.0
+    b = sin(r1) * sin(r2) * cos(r3) * 84.0
+    c = sin(r2) * 199.5
+    d = sin(r3) * cos(r1) * 84.0
+    e = cos(r2) * cos(r3) * 199.5
+    f = sin(r1) * sin(r2) * sin(r3) * 84.0
+    g = sin(r3) * cos(r2) * 199.5
+    h = cos(r1) * cos(r3) * 84.0
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    ans = np.array([
+        [cx * (Z + a - c) + fx * (X + b - d + e),
+         cx * (Z + a + c) + fx * (X + b - d - e),
+         cx * (Z - a + c) + fx * (X - b + d - e),
+         cx * (Z - a - c) + fx * (X - b + d + e)],
+        [cy * (Z + a - c) + fy * (Y + f + g + h),
+         cy * (Z + a + c) + fy * (Y + f - g + h),
+         cy * (Z - a + c) + fy * (Y - f - g - h),
+         cy * (Z - a - c) + fy * (Y - f + g - h)],
+        [Z + a - c, Z + a + c, Z - a + c, Z - a - c]])
+    return (ans[:2] / ans[2:3]).T
+
+
+@pytest.mark.parametrize("pose", [
+    (0.0, 0.0, 2000.0, 0.0, 0.0, 0.0),
+    (300.0, -150.0, 3000.0, 0.3, -0.5, 0.2),
+    (-500.0, 200.0, 1800.0, -0.7, 0.9, -0.6),
+])
+def test_plate_projection_matches_reference_algebra(pose):
+    proj = PlateProjector()
+    ours = np.asarray(proj(jnp.asarray(pose)))
+    ref = _reference_closed_form(pose, proj.camera)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-2)
+    nph = np_project_corners(pose)
+    np.testing.assert_allclose(nph, ref, rtol=1e-4, atol=2e-2)
+
+
+def test_frontal_plate_projects_centered():
+    proj = PlateProjector()
+    pts = np.asarray(proj(jnp.asarray([0.0, 0.0, 2000.0, 0, 0, 0])))
+    # corners symmetric about the principal point
+    assert pts[0, 0] > pts[1, 0]           # right-bottom right of left-bottom
+    np.testing.assert_allclose((pts[0] + pts[2]) / 2,
+                               [proj.camera.cx, proj.camera.cy], atol=1e-2)
+
+
+def test_homography_identity_and_inverse():
+    src = jnp.asarray([[0., 0.], [1., 0.], [1., 1.], [0., 1.]])
+    H = homography_from_4pts(src, src)
+    np.testing.assert_allclose(np.asarray(H), np.eye(3), atol=1e-5)
+
+    dst = jnp.asarray([[10., 5.], [50., 8.], [45., 40.], [12., 38.]])
+    H = homography_from_4pts(src, dst)
+    back = apply_homography(H, src)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(dst), atol=1e-3)
+
+
+def test_bilinear_sample_exact_and_interp():
+    img = jnp.arange(12.0).reshape(3, 4, 1)
+    v = bilinear_sample(img, jnp.asarray([1.0]), jnp.asarray([2.0]))
+    np.testing.assert_allclose(v[0, 0], 9.0)
+    v = bilinear_sample(img, jnp.asarray([0.5]), jnp.asarray([0.0]))
+    np.testing.assert_allclose(v[0, 0], 0.5)
+    v = bilinear_sample(img, jnp.asarray([-5.0]), jnp.asarray([0.0]), fill=7.0)
+    np.testing.assert_allclose(v[0, 0], 7.0)
+
+
+def test_warp_perspective_identity():
+    img = jnp.arange(24.0).reshape(4, 6, 1)
+    out = warp_perspective(img, jnp.eye(3), (4, 6))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_warp_affine_translation():
+    img = jnp.zeros((8, 8, 1)).at[2, 3, 0].set(1.0)
+    A = jnp.asarray([[1.0, 0.0, 3.0], [0.0, 1.0, 2.0]])  # out->src shift
+    out = warp_affine(img, A, (8, 8))
+    np.testing.assert_allclose(out[0, 0, 0], 1.0, atol=1e-6)
+
+
+def test_unwarp_roundtrip():
+    # paint a recognizable plate-like gradient, project it into a scene via
+    # a homography, then unwarp with the known corners and compare.
+    oh, ow = 16, 38
+    plate = (jnp.arange(ow, dtype=jnp.float32) / ow)[None, :, None]
+    plate = jnp.tile(plate, (oh, 1, 3))
+    corners = jnp.asarray(  # rb, lb, lt, rt — a mild perspective quad
+        [[90., 70.], [20., 72.], [22., 30.], [88., 28.]])
+    dst = jnp.asarray([[ow, oh], [0., oh], [0., 0.], [ow, 0.]], jnp.float32)
+    Hfwd = homography_from_4pts(dst, corners)
+    scene = warp_perspective(jnp.zeros((120, 120, 3)), jnp.eye(3), (120, 120))
+    # render plate into the scene: scene px -> plate px
+    Hback = homography_from_4pts(corners, dst)
+    rendered = warp_perspective(plate, Hback, (120, 120))
+    recovered = unwarp_plate(rendered, corners, (oh, ow))
+    # interior should match well (edges suffer bilinear falloff)
+    np.testing.assert_allclose(np.asarray(recovered[4:-4, 4:-4]),
+                               np.asarray(plate[4:-4, 4:-4]), atol=0.08)
+
+
+def test_projection_jit_vmap():
+    proj = PlateProjector()
+    poses = jnp.asarray([[0., 0., 2000., 0., 0., 0.],
+                         [100., 50., 2500., 0.1, 0.2, -0.1]])
+    f = jax.jit(jax.vmap(proj))
+    out = f(poses)
+    assert out.shape == (2, 4, 2)

@@ -1,0 +1,159 @@
+"""On-device image ops: photometric augmentation, letterbox, flips/clips.
+
+Replaces the reference's host-side PIL/OpenCV/mxnet.image augmentation
+stack (yolo_modules/yolo_cv.py:97-157 PILImageEnhance, the
+mxnet.image.CreateAugmenter chains at licence_plate_render/__init__.py:50-58
+and render_car.py:42-44, cv2_flip_and_clip_frame at yolo_cv.py:285-318)
+with batched, RNG-keyed jax that runs inside the jitted render/train step.
+
+Images are NHWC float32/bfloat16 in [0, 1].
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_RGB2GRAY = jnp.asarray([0.299, 0.587, 0.114])
+
+
+def adjust_brightness(img, factor):
+    return img * factor
+
+
+def adjust_contrast(img, factor):
+    mean = jnp.mean(img * _RGB2GRAY, axis=(-3, -2, -1), keepdims=True) * 3.0
+    return (img - mean) * factor + mean
+
+
+def adjust_saturation(img, factor):
+    gray = jnp.sum(img * _RGB2GRAY, axis=-1, keepdims=True)
+    return (img - gray) * factor + gray
+
+
+def adjust_hue(img, delta):
+    """Cheap hue rotation via the YIQ approximation (angle in radians)."""
+    c, s = jnp.cos(delta), jnp.sin(delta)
+    # constant matrices of the YIQ hue rotation
+    T = jnp.asarray([[0.299, 0.587, 0.114],
+                     [0.596, -0.274, -0.321],
+                     [0.211, -0.523, 0.311]])
+    Tinv = jnp.asarray([[1.0, 0.956, 0.621],
+                        [1.0, -0.272, -0.647],
+                        [1.0, -1.107, 1.705]])
+    R = jnp.asarray([[1.0, 0.0, 0.0],
+                     [0.0, c, -s],
+                     [0.0, s, c]])
+    M = Tinv @ R @ T
+    return jnp.einsum("...c,dc->...d", img, M)
+
+
+def random_color_jitter(key, img, brightness=0.0, contrast=0.0,
+                        saturation=0.0, hue=0.0, noise_std=0.0):
+    """Batched color jitter. ``img``: (B, H, W, 3). Each sample draws its
+    own factors — semantics of mxnet.image.CreateAugmenter(brightness=...,
+    contrast=..., saturation=..., hue=...) as used by the reference
+    renderers."""
+    B = img.shape[0]
+    ks = jax.random.split(key, 5)
+
+    def u(k, lo, hi):
+        return jax.random.uniform(k, (B, 1, 1, 1), minval=lo, maxval=hi)
+
+    if brightness:
+        img = adjust_brightness(img, u(ks[0], 1 - brightness, 1 + brightness))
+    if contrast:
+        img = adjust_contrast(img, u(ks[1], 1 - contrast, 1 + contrast))
+    if saturation:
+        img = adjust_saturation(img, u(ks[2], 1 - saturation, 1 + saturation))
+    if hue:
+        delta = jax.random.uniform(ks[3], (B, 1, 1, 1),
+                                   minval=-hue, maxval=hue) * jnp.pi
+        img = adjust_hue(img, delta[..., 0:1])
+    if noise_std:
+        img = img + noise_std * jax.random.normal(ks[4], img.shape)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def gaussian_blur(img, sigma, radius: int = 3):
+    """Separable gaussian blur with a static kernel radius; ``sigma`` may be
+    a traced scalar (sigma ~ 0 degenerates to identity). img: (..., H, W, C).
+    Stands in for PIL GaussianBlur in the plate renderer
+    (yolo_cv.py:154-157)."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    sig = jnp.maximum(sigma, 1e-3)
+    k = jnp.exp(-0.5 * (x / sig) ** 2)
+    k = k / jnp.sum(k)
+
+    # convolve along W then H via depthwise conv
+    def conv1d(im, kernel, axis):
+        kern = kernel.reshape((-1, 1) if axis == -3 else (1, -1))
+        kern = kern[:, :, None, None]  # (kh, kw, 1, 1)
+        C = im.shape[-1]
+        kern = jnp.tile(kern, (1, 1, 1, C))
+        lhs = im[None] if im.ndim == 3 else im
+        out = jax.lax.conv_general_dilated(
+            lhs, kern,
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+        return out[0] if im.ndim == 3 else out
+    img = conv1d(img, k, axis=-2)
+    img = conv1d(img, k, axis=-3)
+    return img
+
+
+def letterbox(img, out_hw: Tuple[int, int], fill=0.5):
+    """Pad-and-centre an (H, W, C) image onto an (out_h, out_w) canvas
+    without resampling when it already fits; returns (canvas, scale, (dy, dx)).
+
+    Static-shape helper for serving: aligns arbitrary frame sizes to the
+    stride-64-aligned network input.
+    """
+    H, W = img.shape[0], img.shape[1]
+    oh, ow = out_hw
+    canvas = jnp.full((oh, ow, img.shape[2]), fill, img.dtype)
+    dy = (oh - H) // 2
+    dx = (ow - W) // 2
+    canvas = jax.lax.dynamic_update_slice(canvas, img, (dy, dx, 0))
+    return canvas, 1.0, (dy, dx)
+
+
+def resize_bilinear(img, out_hw: Tuple[int, int]):
+    """jax.image.resize wrapper (NHWC or HWC)."""
+    if img.ndim == 4:
+        shape = (img.shape[0], out_hw[0], out_hw[1], img.shape[3])
+    else:
+        shape = (out_hw[0], out_hw[1], img.shape[2])
+    return jax.image.resize(img, shape, method="bilinear")
+
+
+def flip_and_clip(img, clip_hw: Sequence[float] = (1.0, 1.0), flip: int = 3):
+    """Centre-clip by height/width ratios then flip.
+
+    flip: 1 = left-right, 0 = top-down, -1 = both, anything else = no-op —
+    the cv2_flip_and_clip_frame contract (yolo_cv.py:285-318).
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    if clip_hw[0] < 1:
+        top = int((1 - clip_hw[0]) * H / 2.0)
+        img = img[..., top:H - top, :, :]
+    if clip_hw[1] < 1:
+        left = int((1 - clip_hw[1]) * W / 2.0)
+        img = img[..., :, left:W - left, :]
+    if flip == 1:
+        img = img[..., :, ::-1, :]
+    elif flip == 0:
+        img = img[..., ::-1, :, :]
+    elif flip == -1:
+        img = img[..., ::-1, ::-1, :]
+    return img
+
+
+def white_balance(img, rgb_gains=None):
+    """Grey-world white balance (yolo_cv.py:214-231)."""
+    if rgb_gains is None:
+        avg = jnp.mean(img, axis=(-3, -2), keepdims=True)
+        rgb_gains = jnp.sum(avg, -1, keepdims=True) / (avg * 3.0 + 1e-8)
+    return jnp.clip(img * rgb_gains, 0.0, 1.0)
