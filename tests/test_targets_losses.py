@@ -1,0 +1,186 @@
+"""Tests for target assignment and loss semantics, checked against
+hand-computed reference math (car/YOLO.py:401-498,
+LP_detection.py:259-313/354-360, OCR/OCR.py:77-118)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.config import builtin_spec
+from yolo_tpu.losses import (huber_loss, logistic_loss, score_weight,
+                             softmax_ce_loss, softmax_ce_sparse)
+from yolo_tpu.ops.math import inv_sigmoid, sigmoid
+from yolo_tpu.targets import (CarTargetAssigner, assign_lp_targets,
+                              assign_ocr_targets)
+
+
+# ----------------------------------------------------------------------
+# losses
+# ----------------------------------------------------------------------
+def test_logistic_loss_values():
+    pred = jnp.asarray([[0.0, 2.0, -2.0]])
+    label = jnp.asarray([[1.0, 1.0, 0.0]])
+    got = logistic_loss(pred, label)
+    exp = np.mean([math.log(2), math.log(1 + math.exp(-2)),
+                   math.log(1 + math.exp(-2))])
+    np.testing.assert_allclose(got[0], exp, rtol=1e-5)
+
+
+def test_huber_loss_regions():
+    pred = jnp.asarray([[0.5, 3.0]])
+    label = jnp.zeros((1, 2))
+    got = huber_loss(pred, label)
+    exp = np.mean([0.5 * 0.25, 1.0 * (3.0 - 0.5)])
+    np.testing.assert_allclose(got[0], exp, rtol=1e-6)
+
+
+def test_softmax_ce_dense_and_sparse_agree():
+    logits = jnp.asarray([[[1.0, 2.0, 0.5]]])
+    onehot = jnp.asarray([[[0.0, 1.0, 0.0]]])
+    dense = softmax_ce_loss(logits, onehot)
+    sparse = softmax_ce_sparse(logits, jnp.asarray([[1]]))
+    np.testing.assert_allclose(dense, sparse, rtol=1e-6)
+
+
+def test_weighting_reduction_matches_gluon():
+    # gluon multiplies the elementwise weight then means over non-batch axes
+    pred = jnp.zeros((2, 4, 1))
+    label = jnp.ones((2, 4, 1))
+    w = jnp.asarray([1.0, 0.0, 0.0, 0.0]).reshape(1, 4, 1)
+    got = logistic_loss(pred, label, w)
+    np.testing.assert_allclose(got, math.log(2) / 4, rtol=1e-5)
+
+
+def test_score_weight():
+    mask = jnp.asarray([[0.0, 1.0]])
+    w = score_weight(mask, 10.0, 0.1)
+    np.testing.assert_allclose(w, [[0.1, 10.0]])
+
+
+# ----------------------------------------------------------------------
+# car target assignment
+# ----------------------------------------------------------------------
+def test_car_assignment_centre_box():
+    spec = builtin_spec("car_v1")
+    assigner = CarTargetAssigner(spec)
+    # a box exactly matching anchor 0 of level 0, centred on cell (0, 0)
+    h0, w0 = spec.all_anchors[0][0]
+    cy, cx = 8.0 / 320, 8.0 / 512
+    label = np.full((1, 1, 6 + spec.num_class), 0.0, np.float32)
+    label[0, 0, 0] = 3            # class index irrelevant; >= 0 -> valid
+    label[0, 0, 1:5] = [cy, cx, h0, w0]
+    label[0, 0, 5] = 0.25         # rotation
+    label[0, 0, 6:] = 1.0 / spec.num_class
+    t = jax.jit(assigner)(jnp.asarray(label))
+
+    assert t.mask.shape == (1, 840, 3, 1)
+    np.testing.assert_allclose(np.sum(np.asarray(t.mask)), 1.0)
+    # the hit is cell 0 / anchor 0
+    assert float(t.mask[0, 0, 0, 0]) == 1.0
+    # centre on the cell centre -> sigmoid(t) == 0.5 -> t == 0
+    np.testing.assert_allclose(t.box_yx[0, 0, 0], [0.0, 0.0], atol=1e-4)
+    # exact anchor match -> log(1) == 0
+    np.testing.assert_allclose(t.box_hw[0, 0, 0], [0.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(t.rotate[0, 0, 0, 0], 0.25, atol=1e-6)
+
+
+def test_car_assignment_encoding_roundtrip():
+    spec = builtin_spec("car_v1")
+    assigner = CarTargetAssigner(spec)
+    label = np.full((1, 1, 6 + spec.num_class), 0.0, np.float32)
+    cy, cx, h, w = 0.52, 0.47, 0.33, 0.41
+    label[0, 0, 0] = 0
+    label[0, 0, 1:5] = [cy, cx, h, w]
+    t = assigner(jnp.asarray(label))
+    idx = np.unravel_index(np.argmax(np.asarray(t.mask)), t.mask.shape)
+    b, cell, anc, _ = idx
+    g = assigner.grids
+    step = float(g.step[cell, anc, 0])
+    ctr_y = (float(assigner.ltrb[cell, anc, 1]) +
+             float(assigner.ltrb[cell, anc, 3])) / 2
+    ctr_x = (float(assigner.ltrb[cell, anc, 0]) +
+             float(assigner.ltrb[cell, anc, 2])) / 2
+    # decode the stored targets back to the box (the predict() transform,
+    # car/YOLO.py:552-566)
+    ty, tx = np.asarray(t.box_yx[b, cell, anc])
+    th, tw = np.asarray(t.box_hw[b, cell, anc])
+    by = sigmoid(ty) * step / 320 + (ctr_y - step / 320 / 2)
+    bx = sigmoid(tx) * step / 512 + (ctr_x - step / 512 / 2)
+    bh = math.exp(th) * float(g.h[cell, anc, 0])
+    bw = math.exp(tw) * float(g.w[cell, anc, 0])
+    np.testing.assert_allclose([by, bx, bh, bw], [cy, cx, h, w], atol=1e-3)
+
+
+def test_car_assignment_invalid_label():
+    spec = builtin_spec("car_v1")
+    assigner = CarTargetAssigner(spec)
+    label = np.full((2, 1, 6 + spec.num_class), -1.0, np.float32)
+    t = assigner(jnp.asarray(label))
+    assert float(jnp.sum(t.mask)) == 0.0
+    assert float(jnp.sum(jnp.abs(t.box_yx))) == 0.0
+
+
+# ----------------------------------------------------------------------
+# LP target assignment
+# ----------------------------------------------------------------------
+def test_lp_assignment():
+    r_max = [45, 60, 45]
+    label = np.full((1, 1, 10), -1.0, np.float32)
+    X, Y, Z = 300.0, -150.0, 2500.0
+    r = [0.3, -0.5, 0.2]
+    x_px, y_px = 300.0, 170.0
+    label[0, 0] = [1, X, Y, Z, r[0], r[1], r[2], x_px, y_px, 2]
+    t = assign_lp_targets(jnp.asarray(label), (10, 16), (320, 512), r_max)
+    assert t.score.shape == (1, 10, 16, 1)
+    hf, wf = int(170 // 32), int(300 // 32)
+    assert float(t.score[0, hf, wf, 0]) == 1.0
+    np.testing.assert_allclose(np.sum(np.asarray(t.score)), 1.0)
+    np.testing.assert_allclose(t.pose_xy[0, hf, wf], [0.3, -0.15], atol=1e-6)
+    np.testing.assert_allclose(t.pose_z[0, hf, wf, 0], 2.5, atol=1e-6)
+    # rotation encode/decode roundtrip (decode: LP_detection.py:156-161)
+    for i in range(3):
+        enc = float(t.pose_r[0, hf, wf, i])
+        dec = (float(sigmoid(enc)) - 0.5) * 2 * r_max[i] * math.pi / 180
+        np.testing.assert_allclose(dec, r[i], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t.cls[0, hf, wf]), [0, 0, 1])
+
+
+def test_lp_assignment_empty():
+    label = np.full((3, 1, 10), -1.0, np.float32)
+    t = assign_lp_targets(jnp.asarray(label), (10, 16), (320, 512),
+                          [45, 60, 45])
+    assert float(jnp.sum(t.score)) == 0.0
+
+
+# ----------------------------------------------------------------------
+# OCR target assignment
+# ----------------------------------------------------------------------
+def test_ocr_targets_single_char():
+    # one char spanning columns [6, 12): centre 0.375, width 0.25
+    labels = np.full((1, 7, 3), -1.0, np.float32)
+    labels[0, 0] = [5, 0.25, 0.5]
+    t = assign_ocr_targets(jnp.asarray(labels), area=24)
+    assert t.score.shape == (1, 1, 24, 1)
+    s = np.asarray(t.score[0, 0, :, 0])
+    c = np.asarray(t.cls[0, 0])
+    for i in range(24):
+        if 6 <= i < 12:
+            box_cent = (i + 0.5) / 24.0
+            exp = 1 - abs(box_cent - 0.375) / 0.25
+            np.testing.assert_allclose(s[i], exp, rtol=1e-5)
+            assert c[i] == 5
+        else:
+            assert s[i] == 0.0 and c[i] == -1
+
+
+def test_ocr_targets_full_plate():
+    # 7 chars evenly spaced, as draw_LP produces
+    labels = np.full((1, 7, 3), -1.0, np.float32)
+    xs = [7, 56, 106, 175, 225, 274, 324]
+    for j, x in enumerate(xs):
+        labels[0, j] = [j + 10, x / 380.0, (x + 45) / 380.0]
+    t = assign_ocr_targets(jnp.asarray(labels), area=24)
+    c = np.asarray(t.cls[0, 0])
+    present = sorted(set(int(v) for v in c if v >= 0))
+    assert present == list(range(10, 17))
