@@ -33,20 +33,21 @@ def adjust_saturation(img, factor):
 
 
 def adjust_hue(img, delta):
-    """Cheap hue rotation via the YIQ approximation (angle in radians)."""
-    c, s = jnp.cos(delta), jnp.sin(delta)
-    # constant matrices of the YIQ hue rotation
+    """Hue rotation via the YIQ approximation; ``delta`` (radians) may be a
+    scalar or any shape broadcastable against img[..., :1]."""
     T = jnp.asarray([[0.299, 0.587, 0.114],
                      [0.596, -0.274, -0.321],
                      [0.211, -0.523, 0.311]])
     Tinv = jnp.asarray([[1.0, 0.956, 0.621],
                         [1.0, -0.272, -0.647],
                         [1.0, -1.107, 1.705]])
-    R = jnp.asarray([[1.0, 0.0, 0.0],
-                     [0.0, c, -s],
-                     [0.0, s, c]])
-    M = Tinv @ R @ T
-    return jnp.einsum("...c,dc->...d", img, M)
+    yiq = jnp.einsum("...c,dc->...d", img, T)
+    c = jnp.cos(delta)
+    s = jnp.sin(delta)
+    y = yiq[..., 0:1]
+    i = yiq[..., 1:2] * c - yiq[..., 2:3] * s
+    q = yiq[..., 1:2] * s + yiq[..., 2:3] * c
+    return jnp.einsum("...c,dc->...d", jnp.concatenate([y, i, q], -1), Tinv)
 
 
 def random_color_jitter(key, img, brightness=0.0, contrast=0.0,

@@ -1,0 +1,239 @@
+"""On-device synthetic licence-plate rendering.
+
+TPU-first rebuild of the reference's ``LPGenerator``
+(yolo_modules/licence_plate_render/__init__.py:22-214), which drew plates
+with PIL pastes and warped them per-sample on host. Here the whole batch
+is produced by one jitted program:
+
+* plate drawing = glyph-atlas gather + static-position composite
+  (positions are fixed per plate type, __init__.py:28-29),
+* the 6-DoF perspective projection is the same camera model
+  (ops.geometry.PlateProjector), and the PIL PERSPECTIVE warp becomes a
+  batched homography sampler,
+* photometric augmentation is RNG-keyed jax (ops.image).
+
+Two entry points mirror the reference API:
+* ``add(key, bg)``    — project plates into scenes for LPD training
+  (labels ``[valid, X, Y, Z, r1, r2, r3, x_px, y_px, type]``,
+  __init__.py:134-166),
+* ``render(key, bg)`` — fronto-parallel strips for OCR training
+  (labels ``[cls, left, right]`` per character, __init__.py:168-214).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.ops.geometry import (CameraIntrinsics, PlateProjector,
+                                   homography_from_4pts, warp_affine,
+                                   warp_perspective)
+from yolo_tpu.ops.image import gaussian_blur, random_color_jitter
+from yolo_tpu.render.fonts import (DOT_H, DOT_W, GLYPH_H, GLYPH_W,
+                                   GlyphAtlas, build_glyph_atlas)
+
+# Taiwanese type-0 plate geometry (ABC-1234): canvas 380x160, glyph row at
+# y=35, dash at y=45, slot x positions (reference __init__.py:27-29).
+PLATE_H, PLATE_W = 160, 380
+SLOT_X = (7, 56, 106, 175, 225, 274, 324)
+DOT_X, DOT_Y = 158, 45
+GLYPH_Y = 35
+
+
+class LPRenderer:
+    def __init__(self, img_h: int, img_w: int,
+                 camera: CameraIntrinsics = CameraIntrinsics(),
+                 atlas: GlyphAtlas = None, class_index: int = 1):
+        self.h = int(img_h)
+        self.w = int(img_w)
+        self.class_index = class_index
+        self.projector = PlateProjector(camera=camera)
+        atlas = atlas or build_glyph_atlas()
+        self.atlas = jnp.asarray(atlas.glyphs)          # (34, 90, 45)
+        # pre-pad the dash into a full plate-size alpha layer (static)
+        dot_layer = np.zeros((PLATE_H, PLATE_W), np.float32)
+        dot_layer[DOT_Y:DOT_Y + DOT_H, DOT_X:DOT_X + DOT_W] = atlas.dot
+        self.dot_layer = jnp.asarray(dot_layer)
+
+    # ------------------------------------------------------------------
+    # plate drawing
+    # ------------------------------------------------------------------
+    def sample_chars(self, key, batch: int):
+        """(B, 7) int32 — 3 letters in [10, 34), 4 digits excluding '4'
+        (reference __init__.py:67-79: digit 4 is remapped to 9)."""
+        k1, k2 = jax.random.split(key)
+        letters = jax.random.randint(k1, (batch, 3), 10, 34)
+        digits = jax.random.randint(k2, (batch, 4), 0, 9)
+        digits = jnp.where(digits == 4, 9, digits)
+        return jnp.concatenate([letters, digits], axis=-1)
+
+    def draw_plates(self, chars):
+        """(B, 7) char ids -> (B, 160, 380) ink-alpha canvases.
+
+        White plate with dark glyphs: the canvas holds ink alpha; the RGB
+        plate is (1 - ink) grey-scale white.
+        """
+        def one(ch):
+            ink = self.dot_layer
+            for i, x in enumerate(SLOT_X):
+                glyph = self.atlas[ch[i]]               # (90, 45)
+                layer = jnp.zeros((PLATE_H, PLATE_W), glyph.dtype)
+                layer = jax.lax.dynamic_update_slice(
+                    layer, glyph, (GLYPH_Y, x))
+                ink = jnp.maximum(ink, layer)
+            return ink
+        return jax.vmap(one)(chars)
+
+    def char_spans(self, chars):
+        """(B, 7, 3) [cls, left, right] normalised to plate width
+        (reference label layout, __init__.py:70)."""
+        B = chars.shape[0]
+        left = jnp.asarray(SLOT_X, jnp.float32) / PLATE_W
+        right = (jnp.asarray(SLOT_X, jnp.float32) + GLYPH_W) / PLATE_W
+        left = jnp.broadcast_to(left, (B, 7))
+        right = jnp.broadcast_to(right, (B, 7))
+        return jnp.stack([chars.astype(jnp.float32), left, right], -1)
+
+    # ------------------------------------------------------------------
+    # LPD scene composition (reference `add`)
+    # ------------------------------------------------------------------
+    def sample_pose(self, key, r_max_deg: Sequence[float]):
+        """6-DoF pose with the reference's distribution
+        (__init__.py:97-105): Z ~ U[1500, 5000] mm, X/Y proportional to Z,
+        rotations uniform within ±r_max."""
+        ks = jax.random.split(key, 4)
+        Z = jax.random.uniform(ks[0], (), minval=1500.0, maxval=5000.0)
+        X = (Z * 9 / 30.0) * jax.random.uniform(ks[1], (), minval=-1, maxval=1)
+        Y = (Z * 7 / 30.0) * jax.random.uniform(ks[2], (), minval=-1, maxval=1)
+        r = jax.random.uniform(ks[3], (3,), minval=-1, maxval=1) * \
+            jnp.asarray(r_max_deg) * (math.pi / 180.0)
+        return jnp.concatenate([jnp.stack([X, Y, Z]), r])
+
+    def _project_one(self, ink, pose):
+        """Warp one plate (ink alpha) into the (h, w) scene via its pose.
+
+        Output px -> camera px (resolution scale) -> plate px (homography
+        from the projected corners). Returns (rgb (h,w,3), alpha (h,w,1),
+        centre (x_px, y_px)).
+        """
+        corners = self.projector(pose)                   # (4,2) camera px
+        dst = jnp.asarray([[PLATE_W, PLATE_H], [0.0, PLATE_H],
+                           [0.0, 0.0], [PLATE_W, 0.0]], jnp.float32)
+        H_cam2plate = homography_from_4pts(corners, dst)
+        cam = self.projector.camera
+        S = jnp.asarray([[cam.width / self.w, 0, 0],
+                         [0, cam.height / self.h, 0],
+                         [0, 0, 1]], jnp.float32)
+        H_out2plate = H_cam2plate @ S
+
+        plate_rgba = jnp.concatenate(
+            [jnp.broadcast_to((1.0 - ink)[..., None], (PLATE_H, PLATE_W, 3)),
+             jnp.ones((PLATE_H, PLATE_W, 1))], -1)
+        warped = warp_perspective(plate_rgba, H_out2plate, (self.h, self.w))
+        rgb, alpha = warped[..., :3], warped[..., 3:]
+        centre = self.projector.project_center(pose, (self.h, self.w))
+        return rgb, alpha, centre
+
+    @partial(jax.jit, static_argnums=0)
+    def add(self, key, bg_batch, r_max_deg: Tuple[float, ...] = (45., 60., 45.),
+            add_rate: float = 0.5):
+        """Composite a random plate into each background with probability
+        ``add_rate``. bg_batch: (B, h, w, 3) in [0, 1].
+
+        Returns (images (B, h, w, 3), labels (B, 1, 10)) with label layout
+        ``[valid, X, Y, Z, r1, r2, r3, x_px, y_px, LP_type]`` and -1 rows
+        where no plate was added (reference __init__.py:134-166).
+        """
+        B = bg_batch.shape[0]
+        keys = jax.random.split(key, 5)
+        chars = self.sample_chars(keys[0], B)
+        inks = self.draw_plates(chars)
+        poses = jax.vmap(lambda k: self.sample_pose(k, r_max_deg))(
+            jax.random.split(keys[1], B))
+        rgb, alpha, centre = jax.vmap(self._project_one)(inks, poses)
+
+        # photometric: jitter the plate pixels, light blur, sensor noise
+        rgb = random_color_jitter(keys[2], rgb, brightness=0.5, contrast=0.5,
+                                  saturation=0.5, hue=0.2,
+                                  noise_std=5.0 / 255.0)
+        sig = jax.random.uniform(keys[3], (B,), minval=0.0, maxval=1.0)
+        rgb = jax.vmap(lambda im, s: gaussian_blur(im, s, radius=2))(rgb, sig)
+
+        use = (jax.random.uniform(keys[4], (B,)) < add_rate)
+        alpha = alpha * use[:, None, None, None]
+        img = jnp.clip(bg_batch * (1 - alpha) + rgb * alpha, 0.0, 1.0)
+
+        labels = jnp.concatenate([
+            jnp.ones((B, 1)), poses, centre, jnp.zeros((B, 1))], -1)
+        labels = jnp.where(use[:, None], labels, -jnp.ones_like(labels))
+        return img, labels[:, None, :]
+
+    # ------------------------------------------------------------------
+    # OCR strip composition (reference `render`)
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def render(self, key, bg_batch):
+        """Paste fronto-parallel plates with mild scale/shear/rotation onto
+        backgrounds for OCR training. Returns (images (B, h, w, 3),
+        labels (B, 7, 3) = [cls, left, right] in image-width units).
+
+        Unlike the reference (which approximated the post-rotation char
+        spans with a cos(r) formula, __init__.py:203-209), spans here are
+        computed exactly by pushing the glyph endpoints through the same
+        affine that renders the plate.
+        """
+        B = bg_batch.shape[0]
+        keys = jax.random.split(key, 8)
+        chars = self.sample_chars(keys[0], B)
+        inks = self.draw_plates(chars)
+        spans = self.char_spans(chars)                  # plate-width units
+
+        resize = jax.random.uniform(keys[1], (B,), minval=0.9, maxval=1.0) \
+            * (self.w / float(PLATE_W))                 # fit plate to strip
+        hscale = jax.random.uniform(keys[2], (B,), minval=0.9, maxval=1.1)
+        shear = jax.random.uniform(keys[3], (B,), minval=-0.1, maxval=0.1)
+        rot = jax.random.uniform(keys[4], (B,),
+                                 minval=-5.0, maxval=5.0) * math.pi / 180.0
+        # random placement of the plate centre
+        cx = self.w / 2 + jax.random.uniform(keys[5], (B,), minval=-0.04,
+                                             maxval=0.04) * self.w
+        cy = self.h / 2 + jax.random.uniform(keys[6], (B,), minval=-0.1,
+                                             maxval=0.1) * self.h
+
+        def fwd_matrix(rs, hs, sh, r, cx_, cy_):
+            """plate px -> canvas px: scale, shear, rotate, translate."""
+            c, s = jnp.cos(r), jnp.sin(r)
+            S = jnp.asarray([[rs, rs * sh], [0.0, rs * hs]])
+            R = jnp.asarray([[c, -s], [s, c]])
+            M = R @ S
+            centre_plate = jnp.asarray([PLATE_W / 2.0, PLATE_H / 2.0])
+            t = jnp.asarray([cx_, cy_]) - M @ centre_plate
+            return M, t
+
+        def one(ink, rs, hs, sh, r, cx_, cy_, span):
+            M, t = fwd_matrix(rs, hs, sh, r, cx_, cy_)
+            Minv = jnp.linalg.inv(M)
+            A = jnp.concatenate([Minv, (-Minv @ t)[:, None]], -1)
+            rgba = jnp.concatenate(
+                [jnp.broadcast_to((1.0 - ink)[..., None],
+                                  (PLATE_H, PLATE_W, 3)),
+                 jnp.ones((PLATE_H, PLATE_W, 1))], -1)
+            warped = warp_affine(rgba, A, (self.h, self.w))
+            # exact char spans: map endpoints at plate mid-glyph height
+            ymid = GLYPH_Y + GLYPH_H / 2.0
+            lx = M[0, 0] * span[:, 1] * PLATE_W + M[0, 1] * ymid + t[0]
+            rx = M[0, 0] * span[:, 2] * PLATE_W + M[0, 1] * ymid + t[0]
+            lab = jnp.stack([span[:, 0], lx / self.w, rx / self.w], -1)
+            return warped[..., :3], warped[..., 3:], lab
+
+        rgb, alpha, labels = jax.vmap(one)(
+            inks, resize, hscale, shear, rot, cx, cy, spans)
+        rgb = random_color_jitter(keys[7], rgb, brightness=0.5, contrast=0.5,
+                                  saturation=0.3, hue=0.3,
+                                  noise_std=10.0 / 255.0)
+        img = jnp.clip(bg_batch * (1 - alpha) + rgb * alpha, 0.0, 1.0)
+        return img, labels
