@@ -1,0 +1,204 @@
+"""Per-task loss assembly over the shared model zoo.
+
+Each task packages: model construction, on-device batch synthesis, target
+assignment and the weighted loss sum — the content of the reference's
+``_train_batch``/``_get_loss`` methods (car/YOLO.py:350-498,
+licence_plate/LP_detection.py:315-360, OCR/OCR.py:103-118,
+car_and_LP/YOLO.py:265-304) as pure functions of (variables, rng, batch).
+
+Loss scales and positive/negative weights come straight from the spec
+(the reference spec.yaml `scale` map).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from yolo_tpu.config import Spec
+from yolo_tpu.losses import (huber_loss, logistic_loss, score_weight,
+                             softmax_ce_loss, softmax_ce_sparse)
+from yolo_tpu.models import build_model
+from yolo_tpu.ops.boxes import merge_and_slice
+from yolo_tpu.targets import (CarTargetAssigner, assign_lp_targets,
+                              assign_ocr_targets)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def _mean(x):
+    return jnp.mean(x)
+
+
+class _TaskBase:
+    """Common plumbing: build model, init variables."""
+
+    kind: str = ""
+
+    def __init__(self, spec: Spec, dtype=jnp.float32):
+        self.spec = spec
+        self.dtype = dtype
+        self.model = build_model(self.kind, spec, dtype=dtype)
+
+    def init_variables(self, key):
+        h, w = self.spec.size
+        x = jnp.zeros((1, h, w, 3), self.dtype)
+        return self.model.init(key, x, train=False)
+
+    def apply_train(self, params, batch_stats, images):
+        out, mut = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images.astype(self.dtype), train=True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    def apply_eval(self, variables, images):
+        return self.model.apply(variables, images.astype(self.dtype),
+                                train=False)
+
+
+class LPTask(_TaskBase):
+    """6-DoF licence-plate pose detection (LPDenseNet)."""
+
+    kind = "lp"
+
+    def loss(self, params, batch_stats, images, labels
+             ) -> Tuple[jnp.ndarray, Tuple[Dict, Any]]:
+        spec = self.spec
+        out, new_stats = self.apply_train(params, batch_stats, images)
+        out = out.astype(jnp.float32)
+        t = assign_lp_targets(labels, spec.lp_grid_hw, spec.size,
+                              spec.LP_r_max, spec.LP_num_class)
+        sw = score_weight(t.mask, spec.LP_positive_weight,
+                          spec.LP_negative_weight)
+        sc = spec.scale
+        losses = {
+            "LP_score": _mean(logistic_loss(
+                out[..., 0:1], t.score, sw * sc["LP_score"])),
+            "LP_xy": _mean(huber_loss(
+                out[..., 1:3], t.pose_xy, t.mask * sc["LP_xy"])),
+            "LP_z": _mean(huber_loss(
+                out[..., 3:4], t.pose_z, t.mask * sc["LP_z"])),
+            "LP_r": _mean(huber_loss(
+                out[..., 4:7], t.pose_r, t.mask * sc["LP_r"])),
+            "LP_class": _mean(softmax_ce_loss(
+                out[..., 7:], t.cls, t.mask * sc["LP_class"])),
+        }
+        return sum(losses.values()), (losses, new_stats)
+
+
+class CarTask(_TaskBase):
+    """YOLOv3 vehicle/viewpoint detection."""
+
+    kind = "car"
+
+    def __init__(self, spec: Spec, dtype=jnp.float32, dense: bool = False):
+        self.kind = "car_dense" if dense else "car"
+        super().__init__(spec, dtype)
+        self.assigner = CarTargetAssigner(spec)
+
+    def car_losses(self, outputs, labels) -> Dict[str, jnp.ndarray]:
+        spec = self.spec
+        parts = merge_and_slice([o.astype(jnp.float32) for o in outputs],
+                                spec.slice_point)
+        t = self.assigner(labels)
+        sw = score_weight(t.mask, spec.positive_weight, spec.negative_weight)
+        sc = spec.scale
+        return {
+            "score": _mean(logistic_loss(parts[0], t.score,
+                                         sw * sc["score"])),
+            "box_yx": _mean(huber_loss(parts[1], t.box_yx,
+                                       t.mask * sc["box_yx"])),
+            "box_hw": _mean(huber_loss(parts[2], t.box_hw,
+                                       t.mask * sc["box_hw"])),
+            "rotate": _mean(huber_loss(parts[3], t.rotate,
+                                       t.mask * sc["rotate"])),
+            "class": _mean(softmax_ce_loss(parts[4], t.cls,
+                                           t.mask * sc["class"])),
+        }
+
+    def loss(self, params, batch_stats, images, labels):
+        outputs, new_stats = self.apply_train(params, batch_stats, images)
+        losses = self.car_losses(outputs, labels)
+        return sum(losses.values()), (losses, new_stats)
+
+
+class OCRTask(_TaskBase):
+    """Per-column plate character recognition."""
+
+    kind = "ocr"
+
+    def loss(self, params, batch_stats, images, labels):
+        spec = self.spec
+        (score_x, class_x), new_stats = self.apply_train(
+            params, batch_stats, images)
+        score_x = score_x.astype(jnp.float32)
+        class_x = class_x.astype(jnp.float32)
+        area = score_x.shape[2]
+        t = assign_ocr_targets(labels, area=area)
+        losses = {
+            "score": _mean(logistic_loss(score_x, t.score))
+            * spec.get("score_weight", 0.1),
+            "class": _mean(softmax_ce_sparse(class_x, t.cls[..., None],
+                                             weight=t.score))
+            * spec.get("class_weight", 1.0),
+        }
+        return sum(losses.values()), (losses, new_stats)
+
+
+class JointTask(_TaskBase):
+    """Car + LP joint training on CarLPNet (summed loss groups)."""
+
+    kind = "carlp"
+
+    def __init__(self, spec: Spec, dtype=jnp.float32):
+        super().__init__(spec, dtype)
+        self.assigner = CarTargetAssigner(spec)
+        self._car = CarTask.__dict__["car_losses"]
+
+    def loss(self, params, batch_stats, images, labels):
+        car_labels, lp_labels = labels
+        spec = self.spec
+        (car_out, lp_out), new_stats = self.apply_train(
+            params, batch_stats, images)
+        losses = self._car(self, car_out, car_labels)
+
+        lp_out = lp_out.astype(jnp.float32)
+        t = assign_lp_targets(lp_labels, spec.lp_grid_hw, spec.size,
+                              spec.LP_r_max, spec.LP_num_class)
+        sw = score_weight(t.mask, spec.LP_positive_weight,
+                          spec.LP_negative_weight)
+        sc = spec.scale
+        losses.update({
+            "LP_score": _mean(logistic_loss(lp_out[..., 0:1], t.score,
+                                            sw * sc["LP_score"])),
+            "LP_xy": _mean(huber_loss(lp_out[..., 1:3], t.pose_xy,
+                                      t.mask * sc["LP_xy"])),
+            "LP_z": _mean(huber_loss(lp_out[..., 3:4], t.pose_z,
+                                     t.mask * sc["LP_z"])),
+            "LP_r": _mean(huber_loss(lp_out[..., 4:7], t.pose_r,
+                                     t.mask * sc["LP_r"])),
+            "LP_class": _mean(softmax_ce_loss(lp_out[..., 7:], t.cls,
+                                              t.mask * sc["LP_class"])),
+        })
+        return sum(losses.values()), (losses, new_stats)
+
+
+def make_task(kind: str, spec: Spec, dtype=jnp.float32):
+    if kind in ("lp", "lpd"):
+        return LPTask(spec, dtype)
+    if kind == "car":
+        return CarTask(spec, dtype)
+    if kind in ("car_dense", "dense"):
+        return CarTask(spec, dtype, dense=True)
+    if kind == "ocr":
+        return OCRTask(spec, dtype)
+    if kind in ("carlp", "joint"):
+        return JointTask(spec, dtype)
+    raise ValueError(f"unknown task {kind!r}")
