@@ -1,0 +1,72 @@
+"""Headline benchmark: batched LPD+VOR FPS per chip at 416x416.
+
+Runs the fused joint pipeline (CarLPNet -> car box/viewpoint + LP pose ->
+perspective unwarp -> OCR peaks) on 416x416 frames letterboxed on device
+to the 448x448-compiled program, bf16 activations, and reports steady-state
+frames/second on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/1000}
+(baseline = the driver-supplied 1000 FPS/chip north star; the reference
+itself published only ~50 FPS on a Jetson Xavier, README.md:64).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.pipeline import JointPipeline
+    from yolo_tpu.train import make_task
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    batch = 64 if on_tpu else 4
+    iters = 30 if on_tpu else 3
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    # flagship operating point: full carlp_v1 topology at 448x448
+    # (416 frames stride-64 letterboxed on device)
+    spec = builtin_spec("carlp_v1").replace(size=[448, 448])
+    ocr_spec = builtin_spec("ocr_v1")
+
+    joint_task = make_task("carlp", spec, dtype=dtype)
+    ocr_task = make_task("ocr", ocr_spec, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    jv = joint_task.init_variables(key)
+    ov = ocr_task.init_variables(key)
+    # (64, 160) unwarp sampling: batch-64 sweep optimum; plates span fewer
+    # source px than this, so the dense upsample to 160x384 is lossless
+    pipe = JointPipeline(joint_task, ocr_task, unwarp_sample_hw=(64, 160))
+    fn = pipe.jit()
+
+    frames = jax.random.uniform(key, (batch, 416, 416, 3), jnp.float32)
+
+    # warmup / compile
+    res = fn(jv, ov, frames)
+    jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = fn(jv, ov, frames)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "fps_per_chip_416x416_batched_LPD+VOR+OCR",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 1000.0, 4),
+        "batch": batch,
+        "backend": backend,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Fused-cascade tests: the detector->unwarp->OCR program must compile as
+one jitted function and produce geometrically consistent outputs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.config import builtin_spec
+from yolo_tpu.pipeline import (ALPRPipeline, JointPipeline, align_up,
+                               pad_frames_to)
+from yolo_tpu.train import make_task
+
+
+def tiny_lp_spec():
+    return builtin_spec("lp_v2").replace(
+        size=[64, 96], num_init_features=8, growth_rate=4,
+        block_config=[2, 2, 2, 2])
+
+
+def tiny_ocr_spec():
+    return builtin_spec("ocr_v1").replace(
+        size=[160, 384], num_init_features=8, growth_rate=4,
+        block_config=[2, 2, 2])
+
+
+def tiny_carlp_spec():
+    return builtin_spec("carlp_v1").replace(
+        size=[64, 128],
+        layers=[1, 1, 1, 1, 1, 1],
+        channels=[4, 8, 8, 16, 16, 32, 32])
+
+
+def test_pad_frames():
+    x = jnp.ones((2, 30, 40, 3))
+    y = pad_frames_to(x, (64, 96), fill=0.0)
+    assert y.shape == (2, 64, 96, 3)
+    np.testing.assert_allclose(float(jnp.sum(y)), 2 * 30 * 40 * 3)
+    assert align_up(416, 64) == 448
+
+
+def test_alpr_pipeline_shapes():
+    lp_task = make_task("lp", tiny_lp_spec())
+    ocr_task = make_task("ocr", tiny_ocr_spec())
+    k = jax.random.PRNGKey(0)
+    lp_vars = lp_task.init_variables(k)
+    ocr_vars = ocr_task.init_variables(k)
+    pipe = ALPRPipeline(lp_task, ocr_task)
+    f = pipe.jit()
+    frames = jax.random.uniform(k, (2, 64, 96, 3))
+    res = f(lp_vars, ocr_vars, frames)
+    assert res.lp.shape == (2, 7)
+    assert res.corners.shape == (2, 4, 2)
+    assert res.crops.shape == (2, 160, 384, 3)
+    assert res.ocr_scores.shape == (2, 24)
+    assert res.ocr_cls.shape == (2, 24)
+    # score is a sigmoid
+    assert 0.0 <= float(res.lp[0, 0]) <= 1.0
+    # pose ranges: Z decoded in mm scale, rotations bounded by r_max
+    assert np.all(np.abs(np.asarray(res.lp[:, 4:])) <=
+                  np.radians([45, 60, 45]) + 1e-5)
+
+
+def test_joint_pipeline_with_padding():
+    joint_task = make_task("carlp", tiny_carlp_spec())
+    ocr_task = make_task("ocr", tiny_ocr_spec())
+    k = jax.random.PRNGKey(1)
+    jv = joint_task.init_variables(k)
+    ov = ocr_task.init_variables(k)
+    pipe = JointPipeline(joint_task, ocr_task)
+    f = pipe.jit()
+    # feed frames smaller than the network input: on-device letterbox
+    frames = jax.random.uniform(k, (2, 48, 80, 3))
+    res = f(jv, ov, frames)
+    assert res.car.shape == (2, 6 + 74)
+    assert res.lp.shape == (2, 7)
+    assert res.crops.shape == (2, 160, 384, 3)
+    # azimuth slot is a finite angle
+    assert np.all(np.abs(np.asarray(res.car[:, 5])) <= np.pi + 1e-5)
+
+
+def test_pipeline_is_one_program():
+    """The cascade must lower to a single XLA computation (no host hops)."""
+    lp_task = make_task("lp", tiny_lp_spec())
+    ocr_task = make_task("ocr", tiny_ocr_spec())
+    k = jax.random.PRNGKey(0)
+    lp_vars = lp_task.init_variables(k)
+    ocr_vars = ocr_task.init_variables(k)
+    pipe = ALPRPipeline(lp_task, ocr_task)
+    frames = jnp.zeros((1, 64, 96, 3))
+    lowered = jax.jit(pipe.__call__).lower(lp_vars, ocr_vars, frames)
+    text = lowered.as_text()
+    assert "func.func public @main" in text
+
+
+def test_unwarp_consistency_with_renderer():
+    """Render a plate at a known pose, unwarp with that pose's corners:
+    the crop must look like a plate (bright, with dark ink)."""
+    from yolo_tpu.ops.geometry import PlateProjector, unwarp_plate
+    from yolo_tpu.render import LPRenderer
+
+    r = LPRenderer(320, 512)
+    bg = jnp.zeros((1, 320, 512, 3))
+    imgs, labels = r.add(jax.random.PRNGKey(3), bg, (30., 30., 30.),
+                         add_rate=1.0)
+    pose = jnp.asarray(labels[0, 0, 1:7])
+    proj = PlateProjector()
+    corners = proj.corners_in_image(pose, (320, 512))
+    crop = unwarp_plate(imgs[0], corners, (160, 384))
+    c = np.asarray(crop)
+    assert c.mean() > 0.35              # mostly white plate
+    assert c.min() < 0.4                # some ink
+    # ink confined to the glyph band rows (35..125 of 160)
+    assert c[0:20].mean() > c[40:120].mean()

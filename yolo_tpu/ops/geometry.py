@@ -128,24 +128,70 @@ class PlateProjector:
 # --------------------------------------------------------------------------
 # homographies
 # --------------------------------------------------------------------------
-def homography_from_4pts(src, dst) -> jnp.ndarray:
-    """Solve the 3x3 homography H with H @ [src, 1] ~ [dst, 1].
+def homography_unit_to_quad(quad) -> jnp.ndarray:
+    """Closed-form 3x3 homography mapping the unit square corners
+    (0,0), (1,0), (1,1), (0,1) to ``quad`` rows 0..3 (Heckbert's
+    projective-mapping construction).
 
-    Same role as cv2.getPerspectiveTransform. ``src``/``dst``: (4, 2).
-    Solved as the standard 8x8 linear system; jit/vmap friendly.
+    Closed form on purpose: an 8x8 ``linalg.solve`` per image lowers to a
+    serialised LU on TPU and dominated the whole inference pipeline
+    (~300 ms/batch); this is a handful of VPU ops.
     """
-    src = jnp.asarray(src, jnp.float32)
-    dst = jnp.asarray(dst, jnp.float32)
-    x, y = src[:, 0], src[:, 1]
-    u, v = dst[:, 0], dst[:, 1]
-    zeros = jnp.zeros_like(x)
-    ones = jnp.ones_like(x)
-    Ax = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], -1)
-    Ay = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], -1)
-    A = jnp.concatenate([Ax, Ay], 0)            # (8, 8)
-    b = jnp.concatenate([u, v], 0)              # (8,)
-    h = jnp.linalg.solve(A, b)
-    return jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+    q = jnp.asarray(quad, jnp.float32)
+    x0, x1, x2, x3 = q[0, 0], q[1, 0], q[2, 0], q[3, 0]
+    y0, y1, y2, y3 = q[0, 1], q[1, 1], q[2, 1], q[3, 1]
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    dx1, dx2 = x1 - x2, x3 - x2
+    dy1, dy2 = y1 - y2, y3 - y2
+    den = dx1 * dy2 - dx2 * dy1
+    safe_den = jnp.where(jnp.abs(den) < 1e-12, 1.0, den)
+    g = (sx * dy2 - dx2 * sy) / safe_den
+    h = (dx1 * sy - sx * dy1) / safe_den
+    affine = (jnp.abs(sx) < 1e-9) & (jnp.abs(sy) < 1e-9)
+    g = jnp.where(affine, 0.0, g)
+    h = jnp.where(affine, 0.0, h)
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    c = x0
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    f = y0
+    return jnp.stack([jnp.stack([a, b, c]),
+                      jnp.stack([d, e, f]),
+                      jnp.stack([g, h, jnp.ones_like(a)])])
+
+
+def inv3x3(H) -> jnp.ndarray:
+    """Adjugate inverse (homographies are scale-free, so no det division
+    is needed for projective use, but we keep it for numeric sanity)."""
+    a, b, c = H[0, 0], H[0, 1], H[0, 2]
+    d, e, f = H[1, 0], H[1, 1], H[1, 2]
+    g, h, i = H[2, 0], H[2, 1], H[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    Hh = b * g - a * h
+    I = a * e - b * d
+    adj = jnp.stack([jnp.stack([A, B, C]),
+                     jnp.stack([D, E, F]),
+                     jnp.stack([G, Hh, I])])
+    det = a * A + b * D + c * G
+    return adj / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+
+
+def homography_from_4pts(src, dst) -> jnp.ndarray:
+    """3x3 homography H with H @ [src, 1] ~ [dst, 1] (the role of
+    cv2.getPerspectiveTransform). ``src``/``dst``: (4, 2) with matching
+    corner order. Built as unit->dst composed with inv(unit->src) — pure
+    closed form, fast under vmap on TPU."""
+    return jnp.matmul(homography_unit_to_quad(dst),
+                      inv3x3(homography_unit_to_quad(src)),
+                      precision="highest")
 
 
 def apply_homography(H, pts):

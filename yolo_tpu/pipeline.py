@@ -1,0 +1,164 @@
+"""Fused end-to-end inference pipelines.
+
+In the reference, the ALPR cascade crossed process boundaries: the LPD
+video node decoded poses and published an unwarped plate crop over ROS
+(licence_plate/LPD_video_node.py, carLP_video_node.py:48-86), which the
+OCR node consumed and answered on another topic (OCR/OCR.py:240-252).
+Here the whole cascade — detector forward, pose decode, plate-corner
+projection, perspective unwarp, OCR forward, peak decode (and for the
+joint net, the car box + viewpoint decode) — is ONE jitted XLA program:
+frames in, plates/boxes/characters out, no host round-trips.
+
+Arbitrary frame sizes are letterboxed on device to the stride-aligned
+network input, so e.g. 416x416 streams run on the 448x448-compiled
+program.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yolo_tpu.config import Spec
+from yolo_tpu.decode import (cls2ang, decode_car, decode_lp, decode_ocr,
+                             make_angle_offsets)
+from yolo_tpu.ops.boxes import make_grid_tables
+from yolo_tpu.ops.batched_geometry import (project_corners_batched,
+                                           unwarp_plates_batched)
+from yolo_tpu.ops.geometry import CameraIntrinsics, PlateProjector
+
+OCR_HW = (160, 384)       # OCR input strip (reference OCR/OCR.py:219)
+
+
+class ALPRResult(NamedTuple):
+    lp: jnp.ndarray         # (B, 7) [score, X, Y, Z, r1, r2, r3]
+    corners: jnp.ndarray    # (B, 4, 2) plate corners in input px
+    crops: jnp.ndarray      # (B, 160, 384, 3) unwarped plates
+    ocr_scores: jnp.ndarray  # (B, 24)
+    ocr_cls: jnp.ndarray    # (B, 24) peak classes, -1 elsewhere
+
+
+class JointResult(NamedTuple):
+    car: jnp.ndarray        # (B, 6+C) [score, y, x, h, w, azi, logits...]
+    lp: jnp.ndarray
+    corners: jnp.ndarray
+    crops: jnp.ndarray
+    ocr_scores: jnp.ndarray
+    ocr_cls: jnp.ndarray
+
+
+def pad_frames_to(images, target_hw: Tuple[int, int], fill: float = 0.5):
+    """Centre-pad (B, h, w, 3) frames onto the network input canvas."""
+    B, H, W, C = images.shape
+    th, tw = target_hw
+    if (H, W) == (th, tw):
+        return images
+    dy, dx = (th - H) // 2, (tw - W) // 2
+    canvas = jnp.full((B, th, tw, C), fill, images.dtype)
+    return jax.lax.dynamic_update_slice(canvas, images, (0, dy, dx, 0))
+
+
+def align_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class ALPRPipeline:
+    """LPD (LPDenseNet) -> unwarp -> OCR, one program.
+
+    ``unwarp_sample_hw``: gather resolution for the plate rectification
+    (densely upsampled to the OCR strip afterwards). Detected plates span
+    far fewer source pixels than 160x384, and random-access gathers are
+    TPU's slowest primitive, so (80, 192) is visually lossless and ~5x
+    faster than full-resolution sampling.
+    """
+
+    def __init__(self, lp_task, ocr_task,
+                 camera: CameraIntrinsics = CameraIntrinsics(),
+                 unwarp_sample_hw=(80, 192)):
+        self.lp_task = lp_task
+        self.ocr_task = ocr_task
+        self.spec = lp_task.spec
+        self.projector = PlateProjector(camera=camera)
+        self.unwarp_sample_hw = unwarp_sample_hw
+
+    def _unwarp_batch(self, images, lp_pred, input_hw):
+        # natively batched projection + one-gather warp: the vmapped
+        # scalar formulation stalls the TPU compiler (ops.batched_geometry)
+        corners = project_corners_batched(
+            lp_pred[:, 1:7], self.projector.camera, input_hw)
+        crops = unwarp_plates_batched(
+            images.astype(self.lp_task.dtype), corners, OCR_HW,
+            sample_hw=self.unwarp_sample_hw)
+        return corners, crops
+
+    def __call__(self, lp_variables, ocr_variables, images) -> ALPRResult:
+        input_hw = images.shape[1:3]
+        lp_map = self.lp_task.apply_eval(lp_variables, images)
+        lp_pred = decode_lp(lp_map.astype(jnp.float32), self.spec.LP_r_max)
+        corners, crops = self._unwarp_batch(images, lp_pred, input_hw)
+        score_x, class_x = self.ocr_task.apply_eval(ocr_variables, crops)
+        ocr = decode_ocr(score_x.astype(jnp.float32),
+                         class_x.astype(jnp.float32))
+        return ALPRResult(lp=lp_pred, corners=corners, crops=crops,
+                          ocr_scores=ocr.scores, ocr_cls=ocr.peak_cls)
+
+    def jit(self):
+        return jax.jit(self.__call__)
+
+
+class JointPipeline:
+    """CarLPNet -> car box + viewpoint + LP pose -> unwarp -> OCR."""
+
+    def __init__(self, joint_task, ocr_task,
+                 camera: CameraIntrinsics = CameraIntrinsics(),
+                 unwarp_sample_hw=(80, 192)):
+        self.joint_task = joint_task
+        self.ocr_task = ocr_task
+        self.spec = joint_task.spec
+        self.projector = PlateProjector(camera=camera)
+        self.unwarp_sample_hw = unwarp_sample_hw
+        self.grids = make_grid_tables(
+            self.spec.size, self.spec.steps, self.spec.all_anchors)
+        self.cos_off, self.sin_off = make_angle_offsets(self.spec.classes)
+
+    def __call__(self, joint_variables, ocr_variables, frames) -> JointResult:
+        spec = self.spec
+        net_hw = tuple(spec.size)
+        images = pad_frames_to(frames, net_hw)
+        car_out, lp_map = self.joint_task.apply_eval(joint_variables, images)
+        car_out = [o.astype(jnp.float32) for o in car_out]
+
+        car = decode_car(car_out, self.grids, spec.slice_point, spec.size)
+        # slot 5 <- circular-expectation azimuth (video_node.py:245-251)
+        azi, _rad = cls2ang(car[:, 0], car[:, 6:], self.cos_off, self.sin_off)
+        car = car.at[:, 5].set(azi)
+
+        lp_pred = decode_lp(lp_map.astype(jnp.float32), spec.LP_r_max)
+
+        corners = project_corners_batched(
+            lp_pred[:, 1:7], self.projector.camera, net_hw)
+        crops = unwarp_plates_batched(
+            images.astype(self.joint_task.dtype), corners, OCR_HW,
+            sample_hw=self.unwarp_sample_hw)
+
+        score_x, class_x = self.ocr_task.apply_eval(ocr_variables, crops)
+        ocr = decode_ocr(score_x.astype(jnp.float32),
+                         class_x.astype(jnp.float32))
+        return JointResult(car=car, lp=lp_pred, corners=corners, crops=crops,
+                           ocr_scores=ocr.scores, ocr_cls=ocr.peak_cls)
+
+    def jit(self, donate: bool = False):
+        return jax.jit(self.__call__)
+
+    def aot_compile(self, joint_variables, ocr_variables, batch: int,
+                    frame_hw: Optional[Tuple[int, int]] = None):
+        """Ahead-of-time compile for a fixed batch/frame shape — the
+        deployment path replacing the reference's MXNet symbol executors /
+        TensorRT engines (yolo_gluon.py:204-242, tensorrt_module.py)."""
+        h, w = frame_hw or self.spec.size
+        dummy = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
+        return jax.jit(self.__call__).lower(
+            joint_variables, ocr_variables, dummy).compile()

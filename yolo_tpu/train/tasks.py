@@ -11,6 +11,7 @@ Loss scales and positive/negative weights come straight from the spec
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -50,7 +51,9 @@ class _TaskBase:
     def init_variables(self, key):
         h, w = self.spec.size
         x = jnp.zeros((1, h, w, 3), self.dtype)
-        return self.model.init(key, x, train=False)
+        # jit the init: eager init dispatches every op separately, which is
+        # painfully slow over a remote-device transport
+        return jax.jit(partial(self.model.init, train=False))(key, x)
 
     def apply_train(self, params, batch_stats, images):
         out, mut = self.model.apply(
