@@ -1,0 +1,79 @@
+"""Shared CLI plumbing for the task apps.
+
+Keeps the reference's invocation contract — positional ``version`` and
+``mode``, per-version ``<version>/spec.yaml`` (falling back to the
+packaged parity specs), ``--weight``/``--record`` train flags and the
+video-node flags (yolo_cv.add_video_parser, car/utils.py:12-45) — minus
+the ``exec``-string dispatch and GPU index plumbing (device selection is
+jax's job on TPU).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional
+
+from yolo_tpu.config import Spec, builtin_spec, load_spec
+
+
+def make_parser(prog: str, modes: List[str]) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog=prog)
+    p.add_argument("version", help="version directory (vN) or builtin spec name")
+    p.add_argument("mode", help="one of: " + "/".join(modes))
+
+    # ---- train/valid ----
+    p.add_argument("--weight", default=None,
+                   help="checkpoint directory to restore (default: "
+                        "<version>/backup latest)")
+    p.add_argument("--record", type=int, default=1,
+                   help="write metrics/checkpoints")
+    p.add_argument("--steps", type=int, default=0,
+                   help="training steps (0 = run until interrupted)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="override spec batch size")
+    p.add_argument("--bf16", type=int, default=0,
+                   help="bfloat16 activations")
+    p.add_argument("--backgrounds", default=os.environ.get(
+        "YOLO_TPU_BACKGROUNDS", None),
+        help="directory of background images (SUN2012-style); "
+             "procedural fallback if unset")
+    p.add_argument("--car-assets", dest="car_assets",
+                   default=os.environ.get("YOLO_TPU_CAR_ASSETS", None),
+                   help="directory of azi/ele-named transparent car PNGs")
+
+    # ---- video (reference add_video_parser contract) ----
+    p.add_argument("--topic", default="/usb_cam/image_raw",
+                   help="ROS topic to subscribe (video mode with --dev ros)")
+    p.add_argument("--dev", default="synthetic",
+                   help="'ros' | video path | camera index | 'synthetic'")
+    p.add_argument("--flip", type=int, default=3,
+                   help="1 left-right, 0 top-down, -1 both, else none")
+    p.add_argument("--clip_h", type=float, default=1.0)
+    p.add_argument("--clip_w", type=float, default=1.0)
+    p.add_argument("--show", type=int, default=0,
+                   help="display/save processed frames")
+    p.add_argument("--radar", type=int, default=0,
+                   help="plot the viewpoint distribution radar")
+    p.add_argument("--max-frames", dest="max_frames", type=int, default=64,
+                   help="frame budget for video mode (0 = unbounded)")
+    p.add_argument("--freiburg", default=None,
+                   help="Freiburg static-cars dataset root (valid_nima)")
+    return p
+
+
+def resolve_spec(version: str, default_builtin: str) -> Spec:
+    """<version>/spec.yaml if present, else the packaged spec."""
+    path = os.path.join(version, "spec.yaml")
+    if os.path.exists(path):
+        return load_spec(path)
+    try:
+        return builtin_spec(default_builtin if version.startswith("v")
+                            and not os.path.isdir(version)
+                            else version)
+    except Exception:
+        return builtin_spec(default_builtin)
+
+
+def check_mode(args, modes: List[str]):
+    if args.mode not in modes:
+        raise SystemExit(f"available modes are {modes}")
