@@ -1,0 +1,153 @@
+"""Tests for the tools layer: IBVS control law, dataset tooling,
+path recorder."""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from yolo_tpu.tools.ibvs import (AzimuthFilter, IBVSController,
+                                 VelocityCommand, _bound)
+
+
+def make_box(score=0.9, y=0.5, x=0.5, h=0.4, w=0.5, depth=-1.0,
+             azi_bin=None, num_bins=24):
+    logits = np.zeros(num_bins)
+    if azi_bin is not None:
+        logits[azi_bin] = 8.0
+    return np.concatenate([[score, y, x, h, w, depth], logits])
+
+
+def test_ibvs_centred_target_small_commands():
+    ctl = IBVSController(desire_z=0.0)      # z error from image height
+    ctl.set_pose(0.0, 1.0)
+    # target perfectly framed at the desired area -> tiny commands
+    box = make_box(h=math.sqrt(0.3), w=math.sqrt(0.3), y=0.7, x=0.5,
+                   azi_bin=0)
+    cmd = ctl.update(box, dt=1 / 30)
+    assert abs(cmd.x) <= 0.2 and abs(cmd.y) <= 0.2
+    assert cmd.yaw_rate == pytest.approx(0.0, abs=1e-6)
+    assert not cmd.hovering
+
+
+def test_ibvs_offset_target_steers_toward_it():
+    ctl = IBVSController(desire_z=0.0)
+    ctl.set_pose(0.0, 1.0)
+    # target far (small area) and to the left of centre
+    box = make_box(h=0.1, w=0.1, x=0.3, azi_bin=0)
+    cmd = ctl.update(box, dt=1 / 30)
+    assert cmd.x > 0            # approach (area error positive)
+    assert cmd.yaw_rate > 0     # rotate toward the target (w err = 0.5-0.3)
+
+
+def test_ibvs_heading_rotation():
+    """Body->world: with heading pi/2 a forward command becomes +y."""
+    ctl = IBVSController(desire_z=0.0, gains={"yp": 0.0})
+    ctl.set_pose(math.pi / 2, 1.0)
+    box = make_box(h=0.1, w=0.1, azi_bin=0)
+    cmd = ctl.update(box, dt=1 / 30)
+    assert abs(cmd.x) < 1e-6
+    assert cmd.y > 0.0
+
+
+def test_ibvs_lost_target_hover_then_spin():
+    ctl = IBVSController()
+    lost = make_box(score=0.0)
+    for i in range(ctl.LOSS_TARGET_MAX):
+        cmd = ctl.update(lost)
+        assert cmd.hovering and cmd.yaw_rate == 0.0
+    cmd = ctl.update(lost)
+    assert cmd.hovering and cmd.yaw_rate == pytest.approx(0.1)
+
+
+def test_ibvs_depth_mode():
+    ctl = IBVSController(desire_distance=1.5, desire_z=0.0)
+    near = make_box(depth=1.0, azi_bin=0)   # too close -> back off
+    cmd = ctl.update(near)
+    assert cmd.x < 0
+
+
+def test_velocity_bound_deadband():
+    assert _bound(0.5, 0.2, 0.05) == 0.2
+    assert _bound(-0.5, 0.2, 0.05) == -0.2
+    assert _bound(0.01, 0.2, 0.05) == 0.0
+
+
+def test_azimuth_filter_converges():
+    f = AzimuthFilter()
+    logits = np.zeros(24)
+    logits[6] = 10.0   # 90 degrees
+    for _ in range(5):
+        ang = f.update(logits)
+    assert np.degrees(ang) == pytest.approx(90.0, abs=1.0)
+
+
+# ----------------------------------------------------------------------
+# dataset tools
+# ----------------------------------------------------------------------
+def _write_img(path, color, size=(40, 30)):
+    from PIL import Image
+    Image.new("RGB", size, color).save(path)
+
+
+def test_filter_backgrounds_without_cars(tmp_path):
+    from yolo_tpu.tools.datasets import filter_backgrounds_without_cars
+    imgd = tmp_path / "img"
+    annd = tmp_path / "ann"
+    imgd.mkdir()
+    annd.mkdir()
+    _write_img(str(imgd / "a.jpg"), (10, 10, 10))
+    _write_img(str(imgd / "b.jpg"), (20, 20, 20))
+    (annd / "a.xml").write_text(
+        "<annotation><object><name>car</name></object></annotation>")
+    (annd / "b.xml").write_text(
+        "<annotation><object><name>tree</name></object></annotation>")
+    keep = filter_backgrounds_without_cars(str(imgd), str(annd))
+    assert keep == ["b.jpg"]
+
+
+def test_compose_and_pack(tmp_path):
+    from PIL import Image
+    from yolo_tpu.tools.datasets import (compose_detection_dataset,
+                                         labels_to_list_file,
+                                         pack_image_pool)
+    bgd = tmp_path / "bg"
+    crd = tmp_path / "crops"
+    outd = tmp_path / "out"
+    bgd.mkdir()
+    crd.mkdir()
+    for i in range(2):
+        _write_img(str(bgd / f"bg{i}.jpg"), (30 * i, 80, 120), (128, 96))
+    crop = Image.new("RGBA", (24, 16), (200, 0, 0, 255))
+    crop.save(crd / "car0.png")
+    n = compose_detection_dataset(str(outd), str(bgd), str(crd),
+                                  per_image=2, size_hw=(96, 128))
+    assert n == 2
+    assert sorted(os.listdir(outd))[:2] == ["00000.jpg", "00000.txt"]
+    rows = (outd / "00000.txt").read_text().strip().split("\n")
+    assert len(rows) == 2
+    vals = [float(v) for v in rows[0].split()]
+    assert len(vals) == 5 and 0 <= vals[1] <= 1
+
+    count = labels_to_list_file(str(outd), str(tmp_path / "list.lst"))
+    assert count == 2
+
+    n2 = pack_image_pool(str(outd), str(tmp_path / "pool.npy"),
+                         size_hw=(64, 96))
+    pool = np.load(tmp_path / "pool.npy")
+    assert pool.shape == (n2, 64, 96, 3) and pool.dtype == np.uint8
+
+    # BackgroundPool loads the shard
+    from yolo_tpu.render import BackgroundPool
+    import jax
+    bp = BackgroundPool(str(tmp_path / "pool.npy"), 64, 96)
+    out = bp.sample(jax.random.PRNGKey(0), 3)
+    assert out.shape == (3, 64, 96, 3)
+
+
+def test_record_path(tmp_path):
+    from yolo_tpu.tools.record_path import plot_path
+    track = [(0, 0, ""), (1, 0, "AYM0231"), (2, 0, "AYM0231"), (3, 0, "X")]
+    ratio = plot_path(track, "AYM0231", str(tmp_path / "p.png"))
+    assert ratio == pytest.approx(0.5)
+    assert (tmp_path / "p.png").exists()

@@ -72,7 +72,16 @@ class BackgroundPool:
                  max_images: int = 512):
         self.h, self.w = int(h), int(w)
         self.pool = None
-        if root and os.path.isdir(root):
+        if root and os.path.isfile(root) and root.endswith(".npy"):
+            # packed shard from tools.datasets.pack_image_pool
+            arr = np.load(root)[:max_images].astype(np.float32) / 255.0
+            if arr.shape[1:3] != (self.h, self.w):
+                import jax
+                arr = np.asarray(jax.image.resize(
+                    jnp.asarray(arr),
+                    (arr.shape[0], self.h, self.w, 3), "bilinear"))
+            self.pool = jnp.asarray(arr)
+        elif root and os.path.isdir(root):
             try:
                 from PIL import Image
                 files = sorted(
