@@ -1,0 +1,83 @@
+"""Native framepipe tests: build, ring semantics, letterbox parity with
+numpy, PPM streaming producer."""
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from yolo_tpu.serve.native import FrameRing, load_library, native_letterbox
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = load_library(build=True)
+    if lib is None:
+        pytest.skip("no C++ toolchain available")
+    return lib
+
+
+def test_ring_push_pop_roundtrip(lib):
+    ring = FrameRing(8, 32, 48)
+    frames = [np.full((32, 48, 3), i * 10, np.uint8) for i in range(3)]
+    for f in frames:
+        ring.push(f)
+    assert ring.size == 3
+    out = ring.pop_batch(3, 32, 48)
+    assert out.shape == (3, 32, 48, 3)
+    for i in range(3):
+        np.testing.assert_allclose(out[i], frames[i] / 255.0, atol=1e-6)
+    assert ring.size == 0
+    ring.close()
+
+
+def test_ring_drops_oldest_when_full(lib):
+    ring = FrameRing(2, 4, 4)
+    for i in range(5):
+        ring.push(np.full((4, 4, 3), i, np.uint8))
+    assert ring.dropped >= 1
+    out = ring.pop_batch(2, 4, 4)
+    # newest frames survive
+    assert out.shape[0] == 2
+    assert out[-1].max() * 255 == pytest.approx(4, abs=0.5)
+    ring.close()
+
+
+def test_letterbox_matches_numpy(lib):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (30, 40, 3), np.uint8)
+    out = native_letterbox(img, (64, 96), fill=0.25)
+    ref = np.full((64, 96, 3), 0.25, np.float32)
+    dy, dx = (64 - 30) // 2, (96 - 40) // 2
+    ref[dy:dy + 30, dx:dx + 40] = img / 255.0
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_ring_pop_letterboxes(lib):
+    ring = FrameRing(4, 30, 40)
+    ring.push(np.full((30, 40, 3), 255, np.uint8))
+    out = ring.pop_batch(1, 64, 96, fill=0.0)
+    assert out.shape == (1, 64, 96, 3)
+    assert out[0, 0, 0, 0] == 0.0                  # padding
+    assert out[0, 32, 48, 0] == pytest.approx(1.0)  # pasted centre
+    ring.close()
+
+
+def test_ppm_stream_producer(lib, tmp_path):
+    h, w = 16, 24
+    path = tmp_path / "frames.ppm"
+    frames = [np.full((h, w, 3), v, np.uint8) for v in (10, 100, 200)]
+    with open(path, "wb") as f:
+        for fr in frames:
+            f.write(b"P6\n%d %d\n255\n" % (w, h))
+            f.write(fr.tobytes())
+    ring = FrameRing(8, h, w)
+    ring.start_ppm_stream(str(path))
+    deadline = time.time() + 5
+    while not ring.eos and time.time() < deadline:
+        time.sleep(0.01)
+    out = ring.pop_batch(3, h, w)
+    assert out.shape[0] == 3
+    np.testing.assert_allclose(out[2], frames[2] / 255.0, atol=1e-6)
+    ring.close()

@@ -59,6 +59,27 @@ class FrameSource:
                 count += 1
             return
 
+        if self.dev.startswith(("ppm:", "raw:")):
+            # native producer thread + lock-free ring (serve/native.py)
+            from yolo_tpu.serve.native import FrameRing
+            kind, path = self.dev.split(":", 1)
+            ring = FrameRing(16, h, w)
+            (ring.start_ppm_stream if kind == "ppm"
+             else ring.start_raw_stream)(path)
+            try:
+                while self.max_frames is None or count < self.max_frames:
+                    out = ring.pop_batch(1, h, w)
+                    if out.shape[0] == 0:
+                        if ring.eos:
+                            return
+                        time.sleep(0.002)
+                        continue
+                    yield self._pre(out[0])
+                    count += 1
+            finally:
+                ring.close()
+            return
+
         if os.path.isdir(self.dev):
             from PIL import Image
             for f in sorted(os.listdir(self.dev)):
