@@ -27,7 +27,7 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     batch = 64 if on_tpu else 4
-    iters = 30 if on_tpu else 3
+    iters = 50 if on_tpu else 3
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     # flagship operating point: full carlp_v1 topology at 448x448
@@ -47,14 +47,21 @@ def main():
 
     frames = jax.random.uniform(key, (batch, 416, 416, 3), jnp.float32)
 
-    # warmup / compile
-    res = fn(jv, ov, frames)
-    jax.block_until_ready(res)
+    # timing note: on remote-device transports block_until_ready can be a
+    # no-op; a host readback of (a scalar from) the LAST result is the
+    # reliable barrier — the device runs programs FIFO, so the last result
+    # being real implies all prior iterations completed.
+    def run_once(fr):
+        res = fn(jv, ov, fr)
+        return res, res.car[0, 0]
+
+    res, probe = run_once(frames)           # warmup / compile
+    float(probe)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = fn(jv, ov, frames)
-    jax.block_until_ready(res)
+        res, probe = run_once(frames)
+    float(probe)                            # barrier
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
