@@ -1,0 +1,41 @@
+"""Evaluation harness smoke tests (untrained nets: metrics exist and are
+sane ranges; trained accuracy is checked on real TPU runs)."""
+import jax
+import jax.numpy as jnp
+
+from yolo_tpu.config import builtin_spec
+from yolo_tpu.tools.evaluate import eval_car, eval_lpd, eval_ocr
+from yolo_tpu.train import make_task
+
+
+def test_eval_ocr_untrained():
+    spec = builtin_spec("ocr_v1").replace(
+        size=[160, 384], num_init_features=8, growth_rate=4,
+        block_config=[2, 2, 2])
+    task = make_task("ocr", spec)
+    v = task.init_variables(jax.random.PRNGKey(0))
+    m = eval_ocr(task, v, batches=1, batch=4)
+    assert 0.0 <= m["ocr_exact_match"] <= 1.0
+    assert m["samples"] == 4
+
+
+def test_eval_lpd_untrained():
+    spec = builtin_spec("lp_v2").replace(
+        size=[160, 256], num_init_features=8, growth_rate=4,
+        block_config=[2, 2, 2, 2])
+    task = make_task("lp", spec)
+    v = task.init_variables(jax.random.PRNGKey(0))
+    m = eval_lpd(task, v, batches=1, batch=4)
+    assert 0.0 <= m["lpd_corner_iou"] <= 1.0
+    assert m["lpd_z_mae_mm"] >= 0
+
+
+def test_eval_car_untrained():
+    spec = builtin_spec("car_v1").replace(
+        size=[64, 64], layers=[1, 1, 1, 1, 1, 1],
+        channels=[4, 8, 8, 16, 16, 32, 32])
+    task = make_task("car", spec)
+    v = task.init_variables(jax.random.PRNGKey(0))
+    m = eval_car(task, v, batches=1, batch=4)
+    assert 0.0 <= m["car_mean_iou"] <= 1.0
+    assert 0.0 <= m["car_azimuth_mae_deg"] <= 180.0

@@ -207,3 +207,39 @@ def test_projection_jit_vmap():
     f = jax.jit(jax.vmap(proj))
     out = f(poses)
     assert out.shape == (2, 4, 2)
+
+
+def test_matmul_warp_matches_gather_warp():
+    """The two-pass matmul rectification must agree with direct bilinear
+    gather sampling to sub-pixel tolerance across random poses."""
+    from yolo_tpu.ops.batched_geometry import (project_corners_batched,
+                                               unwarp_plates_batched,
+                                               unwarp_plates_matmul)
+    from yolo_tpu.ops.geometry import CameraIntrinsics
+    from yolo_tpu.render import LPRenderer
+
+    r = LPRenderer(160, 256)
+    bg = jnp.zeros((3, 160, 256, 3))
+    imgs, labels = r.add(jax.random.PRNGKey(5), bg, (40., 50., 40.),
+                         add_rate=1.0)
+    poses = labels[:, 0, 1:7]
+    corners = project_corners_batched(poses, CameraIntrinsics(), (160, 256))
+    ref = unwarp_plates_batched(imgs, corners, (48, 120))
+    got = unwarp_plates_matmul(imgs, corners, (48, 120),
+                               window_hw=(96, 160))
+    err = np.abs(np.asarray(ref) - np.asarray(got))
+    assert err.mean() < 0.03
+    # bulk of pixels identical; only sub-pixel edge disagreement
+    assert (err < 0.1).mean() > 0.97
+
+
+def test_matmul_warp_jits():
+    from yolo_tpu.ops.batched_geometry import unwarp_plates_matmul
+    imgs = jnp.ones((2, 64, 96, 3))
+    corners = jnp.tile(jnp.asarray(
+        [[[80., 50.], [20., 52.], [22., 20.], [78., 18.]]]), (2, 1, 1))
+    f = jax.jit(lambda i, c: unwarp_plates_matmul(i, c, (32, 80),
+                                                  window_hw=(64, 96)))
+    out = f(imgs, corners)
+    assert out.shape == (2, 32, 80, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -184,3 +184,41 @@ def test_ocr_targets_full_plate():
     c = np.asarray(t.cls[0, 0])
     present = sorted(set(int(v) for v in c if v >= 0))
     assert present == list(range(10, 17))
+
+
+def test_ocr_task_loss_shapes_and_learning_signal():
+    """Regression: the OCR class loss must pair each column with ITS OWN
+    label (a silent broadcast once averaged every column against every
+    label and plateaued training)."""
+    import jax.numpy as jnp
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.train import make_task
+
+    spec = builtin_spec("ocr_v1").replace(
+        size=[64, 96], num_init_features=8, growth_rate=4,
+        block_config=[2, 2, 2])
+    task = make_task("ocr", spec)
+    variables = task.init_variables(jax.random.PRNGKey(0))
+
+    # one char spanning columns [0, 6) of 6 -> class 7
+    labels = np.full((2, 7, 3), -1.0, np.float32)
+    labels[:, 0] = [7, 0.0, 1.0]
+    images = jnp.zeros((2, 64, 96, 3))
+
+    loss_fn = lambda p: task.loss(  # noqa: E731
+        p, variables["batch_stats"], images, jnp.asarray(labels))
+    total, (parts, _) = loss_fn(variables["params"])
+    assert np.isfinite(float(total))
+
+    # perfect logits must give a much smaller class loss than wrong ones
+    from yolo_tpu.losses import softmax_ce_sparse
+    area = 96 // 16
+    cls = jnp.full((2, 1, area), 7, jnp.int32)
+    score = jnp.ones((2, 1, area, 1))
+    good = jnp.zeros((2, 1, area, 34)).at[..., 7].set(20.0)
+    bad = jnp.zeros((2, 1, area, 34)).at[..., 3].set(20.0)
+    lg = float(jnp.mean(softmax_ce_sparse(good, cls, weight=score)))
+    lb = float(jnp.mean(softmax_ce_sparse(bad, cls, weight=score)))
+    assert lg < 1e-3 and lb > 5.0
+    # shape sanity: per-sample loss vector
+    assert softmax_ce_sparse(good, cls, weight=score).shape == (2,)

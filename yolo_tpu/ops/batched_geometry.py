@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from yolo_tpu.ops.geometry import CameraIntrinsics
@@ -74,6 +75,85 @@ def _unit_to_quad_batched(quad):
     e = y3 - y0 + h * y3
     one = jnp.ones_like(a)
     return a, b, x0, d, e, y0, g, h, one
+
+
+def unwarp_plates_matmul(images, corners, out_hw: Tuple[int, int],
+                         window_hw: Tuple[int, int] = (128, 256),
+                         fill: float = 0.0):
+    """Gather-free plate rectification: two-pass separable resampling as
+    dense one-hot matmuls (Catmull-Smith decomposition of the homography).
+
+    Random-access gathers run at ~7-15 ns/element on TPU; this restates
+    the same warp as (1) a dynamic-slice window crop around the plate,
+    (2) a horizontal 1-D resample of every window row at the positions
+    where that row intersects each output column (an interpolation-matrix
+    matmul on the MXU), then (3) a vertical 1-D resample per column.
+    Output matches direct bilinear sampling to sub-pixel accuracy (the
+    two linear passes use the row-intersection abscissa, which differs
+    from the direct sample point by < |dx/dy| of one row).
+
+    images: (B, H, W, C); corners (B, 4, 2) [rb, lb, lt, rt].
+    """
+    B, H, W, C = images.shape
+    oh, ow = out_hw
+    wh, ww = window_hw
+    dtype = images.dtype
+
+    # ---- window crop around the quad bbox ----
+    cx = jnp.mean(corners[:, :, 0], axis=1)
+    cy = jnp.mean(corners[:, :, 1], axis=1)
+    ox = jnp.clip((cx - ww / 2).astype(jnp.int32), 0, max(W - ww, 0))
+    oy = jnp.clip((cy - wh / 2).astype(jnp.int32), 0, max(H - wh, 0))
+    windows = jax.vmap(
+        lambda img, y0, x0: jax.lax.dynamic_slice(
+            img, (y0, x0, 0), (wh, ww, C)))(images, oy, ox)
+    # corners in window coordinates
+    off = jnp.stack([ox, oy], -1).astype(jnp.float32)[:, None, :]
+    cwin = corners - off
+
+    # ---- homography components (output px -> window px) ----
+    quad = jnp.stack(
+        [cwin[:, 2], cwin[:, 3], cwin[:, 0], cwin[:, 1]], axis=1)
+    a, b, c, d, e, f, g, h, one = _unit_to_quad_batched(quad)
+
+    def bc(t, nd=3):
+        return t.reshape(t.shape + (1,) * (nd - 1))
+
+    # ---- pass 1: horizontal resample of every window row ----
+    # for output column j (normalised un) and window row y, the output row
+    # that lands on y has vn = (d*un + f - y*(g*un + 1)) / (y*h - e); the
+    # sample abscissa there is x = (a*un + b*vn + c) / (g*un + h*vn + 1).
+    un = (jnp.arange(ow, dtype=jnp.float32) / ow)[None, None, :]  # (1,1,ow)
+    yy = jnp.arange(wh, dtype=jnp.float32)[None, :, None]          # (1,wh,1)
+    den_v = yy * bc(h) - bc(e)
+    den_v = jnp.where(jnp.abs(den_v) < 1e-6, 1e-6, den_v)
+    vn = (bc(d) * un + bc(f) - yy * (bc(g) * un + bc(one))) / den_v
+    den_x = bc(g) * un + bc(h) * vn + bc(one)
+    xs = (bc(a) * un + bc(b) * vn + bc(c)) / den_x          # (B, wh, ow)
+
+    cols = jnp.arange(ww, dtype=jnp.float32)
+    w1 = jnp.maximum(
+        0.0, 1.0 - jnp.abs(xs[..., None] - cols)).astype(dtype)
+    # (B, wh, ow, ww) @ (B, wh, ww, C) -> (B, wh, ow, C)
+    mid = jnp.einsum("byjc,byck->byjk", w1, windows)
+
+    # ---- pass 2: vertical resample per output column ----
+    vn2 = (jnp.arange(oh, dtype=jnp.float32) / oh)[None, :, None]  # (1,oh,1)
+    un2 = (jnp.arange(ow, dtype=jnp.float32) / ow)[None, None, :]
+    den2 = bc(g) * un2 + bc(h) * vn2 + bc(one)
+    ys = (bc(d) * un2 + bc(e) * vn2 + bc(f)) / den2          # (B, oh, ow)
+    rows = jnp.arange(wh, dtype=jnp.float32)
+    w2 = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ys[..., None] - rows)).astype(dtype)
+    out = jnp.einsum("bijy,byjk->bijk", w2, mid)
+
+    # validity in FULL image coords (windowing must not change semantics)
+    xs_full = (bc(a) * un2 + bc(b) * vn2 + bc(c)) / den2 + \
+        bc(off[:, 0, 0])
+    ys_full = ys + bc(off[:, 0, 1])
+    valid = ((xs_full >= -0.5) & (xs_full <= W - 0.5) &
+             (ys_full >= -0.5) & (ys_full <= H - 0.5))[..., None]
+    return jnp.where(valid, out, fill).astype(dtype)
 
 
 def unwarp_plates_batched(images, corners, out_hw: Tuple[int, int],

@@ -1,0 +1,170 @@
+"""Accuracy evaluation harnesses on held-out synthetic data.
+
+The parity anchors from BASELINE.md: OCR string/char accuracy,
+plate-corner IoU for the 6-DoF pose, box IoU + azimuth error for VOR.
+Evaluation data comes from the same on-device renderers with a held-out
+RNG stream — the reference validated the same way (its renderers are its
+only data source for LPD/OCR).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.decode import (decode_car, decode_lp, decode_ocr,
+                             peaks_to_text)
+from yolo_tpu.ops.boxes import iou_ltrb, make_grid_tables, yxhw_to_ltrb
+from yolo_tpu.ops.geometry import PlateProjector
+from yolo_tpu.render import (CarRenderer, LPRenderer, procedural_backgrounds)
+from yolo_tpu.render.fonts import CLASS_NAMES
+
+
+def eval_ocr(task, variables, batches: int = 10, batch: int = 64,
+             seed: int = 1234, threshold: float = 0.6) -> Dict[str, float]:
+    """Render plate strips, decode, compare char sequences."""
+    h, w = task.spec.size
+    renderer = LPRenderer(h, w)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def run(key):
+        k1, k2 = jax.random.split(key)
+        bg = procedural_backgrounds(k1, batch, h, w)
+        imgs, labels = renderer.render(k2, bg)
+        score_x, class_x = task.apply_eval(variables, imgs)
+        o = decode_ocr(score_x.astype(jnp.float32),
+                       class_x.astype(jnp.float32), threshold=threshold)
+        return labels, o.peak_cls
+
+    exact = 0
+    char_hits = 0
+    char_total = 0
+    total = 0
+    for b in range(batches):
+        key, k = jax.random.split(key)
+        labels, peaks = run(k)
+        labels = np.asarray(labels)
+        peaks = np.asarray(peaks)
+        for i in range(batch):
+            order = np.argsort(labels[i, :, 1])
+            truth = "".join(CLASS_NAMES[int(c)]
+                            for c in labels[i, order, 0] if c >= 0)
+            pred = peaks_to_text(peaks[i])
+            total += 1
+            exact += int(pred == truth)
+            # char accuracy via aligned comparison (same length fast path)
+            n = min(len(pred), len(truth))
+            char_hits += sum(p == t for p, t in zip(pred[:n], truth[:n]))
+            char_total += len(truth)
+    return {"ocr_exact_match": exact / total,
+            "ocr_char_accuracy": char_hits / max(char_total, 1),
+            "samples": total}
+
+
+def _corner_bbox(corners: np.ndarray) -> np.ndarray:
+    return np.asarray([corners[:, 0].min(), corners[:, 1].min(),
+                       corners[:, 0].max(), corners[:, 1].max()])
+
+
+def eval_lpd(task, variables, batches: int = 10, batch: int = 32,
+             seed: int = 1234, r_max=(45.0, 60.0, 45.0)) -> Dict[str, float]:
+    """Render plate scenes, decode pose, compare plate corners.
+
+    Reports mean plate-corner-bbox IoU (pred vs truth corner projections),
+    detection rate (score at the right cell), and pose errors.
+    """
+    h, w = task.spec.size
+    renderer = LPRenderer(h, w)
+    proj = PlateProjector()
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def run(key):
+        k1, k2 = jax.random.split(key)
+        bg = procedural_backgrounds(k1, batch, h, w)
+        imgs, labels = renderer.add(k2, bg, tuple(r_max), add_rate=1.0)
+        out = task.apply_eval(variables, imgs)
+        lp = decode_lp(out.astype(jnp.float32), list(r_max))
+        return labels, lp
+
+    ious, z_errs, ang_errs, scores = [], [], [], []
+    for b in range(batches):
+        key, k = jax.random.split(key)
+        labels, lp = run(k)
+        labels = np.asarray(labels)
+        lp = np.asarray(lp)
+        for i in range(batch):
+            truth_pose = labels[i, 0, 1:7]
+            pred_pose = lp[i, 1:7]
+            tc = np.asarray(proj.corners_in_image(
+                jnp.asarray(truth_pose), (h, w)))
+            pc = np.asarray(proj.corners_in_image(
+                jnp.asarray(pred_pose), (h, w)))
+            tb, pb = _corner_bbox(tc), _corner_bbox(pc)
+            iw = max(min(tb[2], pb[2]) - max(tb[0], pb[0]), 0)
+            ih = max(min(tb[3], pb[3]) - max(tb[1], pb[1]), 0)
+            inter = iw * ih
+            a1 = (tb[2] - tb[0]) * (tb[3] - tb[1])
+            a2 = (pb[2] - pb[0]) * (pb[3] - pb[1])
+            ious.append(inter / max(a1 + a2 - inter, 1e-9))
+            z_errs.append(abs(pred_pose[2] - truth_pose[2]))
+            ang_errs.append(np.mean(np.abs(pred_pose[3:] - truth_pose[3:])))
+            scores.append(lp[i, 0])
+    return {"lpd_corner_iou": float(np.mean(ious)),
+            "lpd_z_mae_mm": float(np.mean(z_errs)),
+            "lpd_rot_mae_rad": float(np.mean(ang_errs)),
+            "lpd_mean_score": float(np.mean(scores)),
+            "samples": len(ious)}
+
+
+def eval_car(task, variables, batches: int = 10, batch: int = 32,
+             seed: int = 1234, car_assets=None) -> Dict[str, float]:
+    """Render car scenes, decode, report mean box IoU + azimuth error."""
+    spec = task.spec
+    h, w = spec.size
+    renderer = CarRenderer(h, w, spec.classes, pool=car_assets)
+    grids = make_grid_tables(spec.size, spec.steps, spec.all_anchors)
+    cls = np.asarray(spec.classes, np.float32)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def run(key):
+        k1, k2 = jax.random.split(key)
+        bg = procedural_backgrounds(k1, batch, h, w)
+        imgs, labels = renderer.render(k2, bg, render_rate=1.0)
+        out = task.apply_eval(variables, imgs)
+        if task.kind == "carlp":
+            out = out[0]
+        pred = decode_car(out, grids, spec.slice_point, spec.size)
+        pred_ltrb = yxhw_to_ltrb(pred[:, 1:5])
+        ious = jax.vmap(iou_ltrb)(pred_ltrb, labels[:, 0, 1:5])
+        return labels, pred, ious
+
+    all_iou, azi_err = [], []
+    for b in range(batches):
+        key, k = jax.random.split(key)
+        labels, pred, ious = run(k)
+        labels = np.asarray(labels)
+        pred = np.asarray(pred)
+        all_iou.extend(np.asarray(ious).reshape(-1).tolist())
+        for i in range(batch):
+            true_cls = int(labels[i, 0, 0])
+            if true_cls < 0:
+                continue
+            true_azi = cls[true_cls, 0]
+            logits = pred[i, 6:]
+            e = np.exp(logits - logits.max())
+            p = e / e.sum()
+            azi_bins = np.radians(cls[:, 0])
+            c = float(np.sum(np.cos(azi_bins) * p))
+            s = float(np.sum(np.sin(azi_bins) * p))
+            err = math.degrees(math.atan2(s, c)) - true_azi
+            err = (err + 180) % 360 - 180
+            azi_err.append(abs(err))
+    return {"car_mean_iou": float(np.mean(all_iou)),
+            "car_azimuth_mae_deg": float(np.mean(azi_err)),
+            "samples": len(all_iou)}

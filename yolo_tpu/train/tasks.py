@@ -145,10 +145,20 @@ class OCRTask(_TaskBase):
         class_x = class_x.astype(jnp.float32)
         area = score_x.shape[2]
         t = assign_ocr_targets(labels, area=area)
+        # score head: regress sigmoid(pred) onto the SOFT per-column score.
+        # The reference used LogisticLoss here (OCR/OCR.py:113), but a
+        # logistic loss saturates sigmoid -> 1 on every covered column
+        # regardless of the soft target value, flattening the profile the
+        # local-peak decoder (OCR/OCR.py:192-199) depends on. Regression
+        # preserves the peaks; set spec score_loss: logistic for the
+        # literal reference behaviour.
+        if spec.get("score_loss", "regression") == "logistic":
+            s_loss = _mean(logistic_loss(score_x, t.score))
+        else:
+            s_loss = _mean(huber_loss(jax.nn.sigmoid(score_x), t.score))
         losses = {
-            "score": _mean(logistic_loss(score_x, t.score))
-            * spec.get("score_weight", 0.1),
-            "class": _mean(softmax_ce_sparse(class_x, t.cls[..., None],
+            "score": s_loss * spec.get("score_weight", 0.1),
+            "class": _mean(softmax_ce_sparse(class_x, t.cls,
                                              weight=t.score))
             * spec.get("class_weight", 1.0),
         }
