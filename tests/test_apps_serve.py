@@ -156,3 +156,22 @@ def test_freiburg_harness_gates_on_missing_dataset(tmp_path):
         freiburg = None
         version = "vX"
     assert run_valid_nima_plot(A()) is None
+
+
+def test_distributed_helpers_single_process():
+    from yolo_tpu.parallel.distributed import (global_mesh, initialize,
+                                               is_primary,
+                                               local_batch_slice)
+    assert initialize() is False          # no coordinator -> no-op
+    assert is_primary()
+    mesh = global_mesh()
+    assert mesh.devices.size >= 1
+    assert local_batch_slice(16) == slice(0, 16)
+
+
+def test_time_fn_barriers():
+    from yolo_tpu.utils.profiling import time_fn
+    f = jax.jit(lambda x: jnp.sum(x * 2))
+    stats = time_fn(f, jnp.ones((64, 64)), iters=3, warmup=1)
+    assert stats["ms_per_iter"] > 0
+    assert stats["single_call_ms"] > 0
