@@ -10,8 +10,8 @@ from __future__ import annotations
 
 from yolo_tpu.apps import common, runner
 
-MODES = ["train", "render_and_train", "valid", "export", "kmean",
-         "valid_nima", "valid_nima_plot", "video"]
+MODES = ["train", "render_and_train", "valid", "eval", "export",
+         "kmean", "valid_nima", "valid_nima_plot", "video"]
 
 
 def pick_kind(version: str) -> str:
@@ -30,6 +30,8 @@ def main(argv=None):
         runner.run_train(kind, spec, args)
     elif args.mode == "valid":
         runner.run_valid(kind, spec, args)
+    elif args.mode == "eval":
+        runner.run_eval(kind, spec, args)
     elif args.mode == "export":
         runner.run_export(kind, spec, args)
     elif args.mode == "kmean":

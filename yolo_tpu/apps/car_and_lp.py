@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from yolo_tpu.apps import common, runner
 
-MODES = ["train", "render_and_train", "valid", "export", "video"]
+MODES = ["train", "render_and_train", "valid", "eval", "export", "video"]
 
 
 def main(argv=None):
@@ -20,6 +20,8 @@ def main(argv=None):
         runner.run_train("carlp", spec, args)
     elif args.mode == "valid":
         runner.run_valid("carlp", spec, args)
+    elif args.mode == "eval":
+        runner.run_eval("carlp", spec, args)
     elif args.mode == "export":
         runner.run_export("carlp", spec, args)
     elif args.mode == "video":

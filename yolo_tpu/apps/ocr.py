@@ -12,7 +12,7 @@ import numpy as np
 
 from yolo_tpu.apps import common, runner
 
-MODES = ["train", "valid", "export", "video"]
+MODES = ["train", "valid", "eval", "export", "video"]
 
 
 def main(argv=None):
@@ -24,6 +24,8 @@ def main(argv=None):
         runner.run_train("ocr", spec, args)
     elif args.mode == "valid":
         runner.run_valid("ocr", spec, args)
+    elif args.mode == "eval":
+        runner.run_eval("ocr", spec, args)
     elif args.mode == "export":
         runner.run_export("ocr", spec, args)
     elif args.mode == "video":

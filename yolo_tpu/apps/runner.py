@@ -119,6 +119,27 @@ def run_valid(kind: str, spec: Spec, args, num_batches: int = 2):
     log(f"annotated frames written to {outdir}", "green")
 
 
+def run_eval(kind: str, spec: Spec, args, batches: int = 8):
+    """Held-out synthetic accuracy evaluation (tools.evaluate)."""
+    import json
+    from yolo_tpu.tools import evaluate as ev
+    trainer = build_trainer(kind, spec, args)
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    if kind == "ocr":
+        m = ev.eval_ocr(trainer.task, variables, batches=batches)
+    elif kind == "lp":
+        m = ev.eval_lpd(trainer.task, variables, batches=batches,
+                        r_max=tuple(spec.LP_r_max))
+    else:
+        m = ev.eval_car(trainer.task, variables, batches=batches,
+                        car_assets=trainer.car_renderer.pool
+                        if trainer.car_renderer else None)
+    m["step"] = int(trainer.state.step)
+    print(json.dumps(m))
+    return m
+
+
 def run_export(kind: str, spec: Spec, args):
     """Checkpoint -> deployable artifact under <version>/export
     (reference export modes; yolo_gluon.export semantics)."""
