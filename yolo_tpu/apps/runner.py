@@ -40,7 +40,15 @@ def build_trainer(kind: str, spec: Spec, args) -> Trainer:
         car_assets=car_assets,
         record=bool(getattr(args, "record", 1)))
     if getattr(args, "weight", None):
-        trainer.state = restore_checkpoint(args.weight, trainer.state)
+        try:    # full train state (backup dirs)
+            trainer.state = restore_checkpoint(args.weight, trainer.state)
+        except Exception:
+            # params-only snapshot (e.g. the packaged trained/ dirs)
+            v = restore_checkpoint(args.weight, {
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats})
+            trainer.state = trainer.state.replace(
+                params=v["params"], batch_stats=v["batch_stats"])
         log(f"restored weights from {args.weight}", "magenta")
     return trainer
 
