@@ -39,3 +39,20 @@ def test_eval_car_untrained():
     m = eval_car(task, v, batches=1, batch=4)
     assert 0.0 <= m["car_mean_iou"] <= 1.0
     assert 0.0 <= m["car_azimuth_mae_deg"] <= 180.0
+
+
+def test_eval_cascade_untrained():
+    from yolo_tpu.tools.evaluate import eval_cascade
+    lp_spec = builtin_spec("lp_v2").replace(
+        size=[160, 256], num_init_features=8, growth_rate=4,
+        block_config=[2, 2, 2, 2])
+    ocr_spec = builtin_spec("ocr_v1").replace(
+        num_init_features=8, growth_rate=4, block_config=[2, 2, 2])
+    lp_task = make_task("lp", lp_spec)
+    ocr_task = make_task("ocr", ocr_spec)
+    lv = lp_task.init_variables(jax.random.PRNGKey(0))
+    ov = ocr_task.init_variables(jax.random.PRNGKey(1))
+    m = eval_cascade(lp_task, lv, ocr_task, ov, batches=1, batch=2)
+    assert 0.0 <= m["cascade_exact_match"] <= 1.0
+    assert 0.0 <= m["cascade_corner_iou"] <= 1.0
+    assert m["samples"] == 2

@@ -121,6 +121,72 @@ def eval_lpd(task, variables, batches: int = 10, batch: int = 32,
             "samples": len(ious)}
 
 
+def eval_cascade(lp_task, lp_variables, ocr_task, ocr_variables,
+                 batches: int = 8, batch: int = 32, seed: int = 99,
+                 r_max=(45.0, 60.0, 45.0)) -> Dict[str, float]:
+    """END-TO-END ALPR accuracy: scenes -> LPD pose -> unwarp with the
+    PREDICTED pose -> OCR -> plate string, compared to the rendered truth.
+
+    This is the full fused serving path (pipeline.ALPRPipeline) under
+    measurement — the reference never quantified its cascade.
+    """
+    from yolo_tpu.pipeline import ALPRPipeline
+
+    h, w = lp_task.spec.size
+    renderer = LPRenderer(h, w)
+    pipe = ALPRPipeline(lp_task, ocr_task)
+    key = jax.random.PRNGKey(seed)
+
+    # `add` draws plate text internally; render with explicit chars so the
+    # ground-truth string is known.
+    @jax.jit
+    def run_known(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        bg = procedural_backgrounds(k1, batch, h, w)
+        chars = renderer.sample_chars(k2, batch)
+        inks = renderer.draw_plates(chars)
+        poses = jax.vmap(lambda k: renderer.sample_pose(k, tuple(r_max)))(
+            jax.random.split(k3, batch))
+        rgb, alpha, centre = jax.vmap(renderer._project_one)(inks, poses)
+        imgs = jnp.clip(bg * (1 - alpha) + rgb * alpha, 0, 1)
+        res = pipe(lp_variables, ocr_variables, imgs)
+        return chars, poses, res
+
+    exact = 0
+    char_hits = 0
+    char_total = 0
+    total = 0
+    ious = []
+    proj = PlateProjector()
+    for b in range(batches):
+        key, k = jax.random.split(key)
+        chars, poses, res = run_known(k)
+        chars = np.asarray(chars)
+        poses = np.asarray(poses)
+        for i in range(batch):
+            truth = "".join(CLASS_NAMES[int(c)] for c in chars[i])
+            pred = peaks_to_text(np.asarray(res.ocr_cls[i]))
+            total += 1
+            exact += int(pred == truth)
+            n = min(len(pred), len(truth))
+            char_hits += sum(p == t for p, t in zip(pred[:n], truth[:n]))
+            char_total += len(truth)
+            tc = np.asarray(proj.corners_in_image(
+                jnp.asarray(poses[i]), (h, w)))
+            pc = np.asarray(res.corners[i])
+            tb, pb = _corner_bbox(tc), _corner_bbox(pc)
+            iw = max(min(tb[2], pb[2]) - max(tb[0], pb[0]), 0)
+            ih = max(min(tb[3], pb[3]) - max(tb[1], pb[1]), 0)
+            inter = iw * ih
+            a1 = (tb[2] - tb[0]) * (tb[3] - tb[1])
+            a2 = (pb[2] - pb[0]) * (pb[3] - pb[1])
+            ious.append(inter / max(a1 + a2 - inter, 1e-9))
+    return {"cascade_exact_match": exact / total,
+            "cascade_char_accuracy": char_hits / max(char_total, 1),
+            "cascade_corner_iou": float(np.mean(ious)),
+            "samples": total}
+
+
 def eval_car(task, variables, batches: int = 10, batch: int = 32,
              seed: int = 1234, car_assets=None) -> Dict[str, float]:
     """Render car scenes, decode, report mean box IoU + azimuth error."""

@@ -60,7 +60,16 @@ class Trainer:
                 h, w, self.spec.classes, pool=car_assets)
 
         # ---- optimizer (adam, reference learning rates) ----
-        self.optimizer = optax.adam(self.spec.get("learning_rate", 1e-3))
+        # optional schedule: spec lr_schedule: cosine + total_steps /
+        # warmup_steps (the reference ran fixed-LR adam)
+        lr = self.spec.get("learning_rate", 1e-3)
+        if self.spec.get("lr_schedule") == "cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr,
+                warmup_steps=self.spec.get("warmup_steps", 500),
+                decay_steps=self.spec.get("total_steps", 100_000),
+                end_value=lr * 0.01)
+        self.optimizer = optax.adam(lr)
 
         # ---- state ----
         key = jax.random.PRNGKey(seed)
