@@ -27,10 +27,25 @@ from yolo_tpu.decode import (cls2ang, decode_car, decode_lp, decode_ocr,
                              make_angle_offsets)
 from yolo_tpu.ops.boxes import make_grid_tables
 from yolo_tpu.ops.batched_geometry import (project_corners_batched,
-                                           unwarp_plates_batched)
+                                           unwarp_plates_batched,
+                                           unwarp_plates_matmul)
 from yolo_tpu.ops.geometry import CameraIntrinsics, PlateProjector
 
 OCR_HW = (160, 384)       # OCR input strip (reference OCR/OCR.py:219)
+
+
+def _unwarp(images, corners, sample_hw, impl: str):
+    """Select the rectification implementation: 'gather' (reduced-res
+    flat-take bilinear) or 'matmul' (two-pass interpolation matmuls —
+    ops.batched_geometry.unwarp_plates_matmul)."""
+    if impl == "matmul":
+        low = unwarp_plates_matmul(images, corners, sample_hw)
+        if tuple(sample_hw) != OCR_HW:
+            low = jax.image.resize(
+                low, (low.shape[0],) + OCR_HW + (low.shape[3],), "bilinear")
+        return low
+    return unwarp_plates_batched(images, corners, OCR_HW,
+                                 sample_hw=sample_hw)
 
 
 class ALPRResult(NamedTuple):
@@ -77,21 +92,21 @@ class ALPRPipeline:
 
     def __init__(self, lp_task, ocr_task,
                  camera: CameraIntrinsics = CameraIntrinsics(),
-                 unwarp_sample_hw=(80, 192)):
+                 unwarp_sample_hw=(80, 192), warp_impl: str = "gather"):
         self.lp_task = lp_task
         self.ocr_task = ocr_task
         self.spec = lp_task.spec
         self.projector = PlateProjector(camera=camera)
         self.unwarp_sample_hw = unwarp_sample_hw
+        self.warp_impl = warp_impl
 
     def _unwarp_batch(self, images, lp_pred, input_hw):
         # natively batched projection + one-gather warp: the vmapped
         # scalar formulation stalls the TPU compiler (ops.batched_geometry)
         corners = project_corners_batched(
             lp_pred[:, 1:7], self.projector.camera, input_hw)
-        crops = unwarp_plates_batched(
-            images.astype(self.lp_task.dtype), corners, OCR_HW,
-            sample_hw=self.unwarp_sample_hw)
+        crops = _unwarp(images.astype(self.lp_task.dtype), corners,
+                        self.unwarp_sample_hw, self.warp_impl)
         return corners, crops
 
     def __call__(self, lp_variables, ocr_variables, images) -> ALPRResult:
@@ -114,12 +129,13 @@ class JointPipeline:
 
     def __init__(self, joint_task, ocr_task,
                  camera: CameraIntrinsics = CameraIntrinsics(),
-                 unwarp_sample_hw=(80, 192)):
+                 unwarp_sample_hw=(80, 192), warp_impl: str = "gather"):
         self.joint_task = joint_task
         self.ocr_task = ocr_task
         self.spec = joint_task.spec
         self.projector = PlateProjector(camera=camera)
         self.unwarp_sample_hw = unwarp_sample_hw
+        self.warp_impl = warp_impl
         self.grids = make_grid_tables(
             self.spec.size, self.spec.steps, self.spec.all_anchors)
         self.cos_off, self.sin_off = make_angle_offsets(self.spec.classes)
@@ -140,9 +156,8 @@ class JointPipeline:
 
         corners = project_corners_batched(
             lp_pred[:, 1:7], self.projector.camera, net_hw)
-        crops = unwarp_plates_batched(
-            images.astype(self.joint_task.dtype), corners, OCR_HW,
-            sample_hw=self.unwarp_sample_hw)
+        crops = _unwarp(images.astype(self.joint_task.dtype), corners,
+                        self.unwarp_sample_hw, self.warp_impl)
 
         score_x, class_x = self.ocr_task.apply_eval(ocr_variables, crops)
         ocr = decode_ocr(score_x.astype(jnp.float32),
