@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import List, Optional
+from typing import List
 
 from yolo_tpu.config import Spec, builtin_spec, load_spec
 

@@ -9,8 +9,6 @@ display when an X server exists).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ splatting, plus the derived quantities every trainer recomputed by hand
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import yaml
 

@@ -13,8 +13,6 @@ materialisation and the HBM argmax/gather round trip.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,14 +15,11 @@ program.
 """
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from yolo_tpu.config import Spec
 from yolo_tpu.decode import (cls2ang, decode_car, decode_lp, decode_ocr,
                              make_angle_offsets)
 from yolo_tpu.ops.boxes import make_grid_tables

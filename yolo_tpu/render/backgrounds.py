@@ -14,7 +14,7 @@ plus color jitter (yolo_modules/yolo_gluon.py:43-77). Here:
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

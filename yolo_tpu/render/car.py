@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 import os
 import re
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

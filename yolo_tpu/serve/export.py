@@ -14,7 +14,6 @@ import os
 from typing import Any, Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from yolo_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 

@@ -9,7 +9,7 @@ only data source for LPD/OCR).
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

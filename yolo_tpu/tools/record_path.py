@@ -8,7 +8,7 @@ when rospy is importable.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 
 def plot_path(track: Sequence[Tuple[float, float, str]], target: str,

@@ -12,7 +12,7 @@ Loss scales and positive/negative weights come straight from the spec
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ matplotlib uses the Agg backend so everything works headless.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
