@@ -156,6 +156,46 @@ def unwarp_plates_matmul(images, corners, out_hw: Tuple[int, int],
     return jnp.where(valid, out, fill).astype(dtype)
 
 
+def inv3x3_batched(a, b, c, d, e, f, g, h, i):
+    """Adjugate inverse of batched 3x3s given as 9 (B,) components.
+    Returns 9 components of the (unnormalised) inverse — fine for
+    homography use where overall scale cancels."""
+    A = e * i - f * h
+    B_ = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H_ = b * g - a * h
+    I_ = a * e - b * d
+    return A, B_, C, D, E, F, G, H_, I_
+
+
+def scene_to_plate_coords(corners_scene, pts_x, pts_y,
+                          plate_wh: Tuple[int, int]):
+    """Map scene-pixel points through the inverse plate homography.
+
+    corners_scene: (B, 4, 2) plate quad [rb, lb, lt, rt] in scene px.
+    pts_x/pts_y: (B, K) scene coords. Returns plate-px (B, K) x, y.
+    """
+    pw, ph = plate_wh
+    quad = jnp.stack([corners_scene[:, 2], corners_scene[:, 3],
+                      corners_scene[:, 0], corners_scene[:, 1]], axis=1)
+    a, b, c, d, e, f, g, h, one = _unit_to_quad_batched(quad)
+    A, B_, C, D, E, F, G, H_, I_ = inv3x3_batched(
+        a, b, c, d, e, f, g, h, one)
+
+    def bc(t):
+        return t[:, None]
+
+    w = bc(G) * pts_x + bc(H_) * pts_y + bc(I_)
+    w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    u = (bc(A) * pts_x + bc(B_) * pts_y + bc(C)) / w
+    v = (bc(D) * pts_x + bc(E) * pts_y + bc(F)) / w
+    return u * pw, v * ph
+
+
 def unwarp_plates_batched(images, corners, out_hw: Tuple[int, int],
                           fill: float = 0.0,
                           sample_hw: Tuple[int, int] = None):

@@ -138,6 +138,72 @@ class LPRenderer:
         centre = self.projector.project_center(pose, (self.h, self.w))
         return rgb, alpha, centre
 
+    def _composite_windowed(self, bg_batch, inks, poses):
+        """Warp + alpha-composite all plates into the scenes via a fixed
+        window around each plate's corner bbox.
+
+        The full-canvas warp samples every scene pixel per image; plates
+        at Z >= 1500 mm never exceed ~0.65 x scene width, so restricting
+        the inverse-warp gather to a window around the quad cuts the
+        dominant gather cost >2x and avoids the vmapped-homography
+        formulation entirely (elementwise batched coords + one flat take;
+        see ops.batched_geometry).
+        Returns (composited scenes, corners (B, 4, 2) scene px).
+        """
+        from yolo_tpu.ops.batched_geometry import (project_corners_batched,
+                                                   scene_to_plate_coords)
+        B, H, W, _ = bg_batch.shape
+        wh = min(H, (int(0.75 * H) + 7) // 8 * 8)
+        ww = min(W, (int(0.66 * W) + 7) // 8 * 8)
+        corners = project_corners_batched(
+            poses, self.projector.camera, (H, W))
+        ox = jnp.clip(jnp.min(corners[:, :, 0], 1).astype(jnp.int32) - 4,
+                      0, max(W - ww, 0))
+        oy = jnp.clip(jnp.min(corners[:, :, 1], 1).astype(jnp.int32) - 4,
+                      0, max(H - wh, 0))
+
+        # plate-px coords of every window pixel (elementwise, batched)
+        yy, xx = jnp.meshgrid(jnp.arange(wh, dtype=jnp.float32),
+                              jnp.arange(ww, dtype=jnp.float32),
+                              indexing="ij")
+        pts_x = xx.reshape(-1)[None] + ox[:, None]
+        pts_y = yy.reshape(-1)[None] + oy[:, None]
+        px, py = scene_to_plate_coords(corners, pts_x, pts_y,
+                                       (PLATE_W, PLATE_H))
+        px = px.reshape(B, wh, ww)
+        py = py.reshape(B, wh, ww)
+
+        # flat batched bilinear gather from the plate RGBA pool
+        plates = jnp.concatenate(
+            [jnp.broadcast_to((1.0 - inks)[..., None],
+                              (B, PLATE_H, PLATE_W, 3)),
+             jnp.ones((B, PLATE_H, PLATE_W, 1))], -1)
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        dx = (px - x0)[..., None]
+        dy = (py - y0)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        flat = plates.reshape(B * PLATE_H * PLATE_W, 4)
+        base = (jnp.arange(B, dtype=jnp.int32) *
+                (PLATE_H * PLATE_W))[:, None, None]
+
+        def g4(yi, xi):
+            idx = base + jnp.clip(yi, 0, PLATE_H - 1) * PLATE_W + \
+                jnp.clip(xi, 0, PLATE_W - 1)
+            return jnp.take(flat, idx, axis=0)
+
+        v00 = g4(y0i, x0i)
+        v01 = g4(y0i, x0i + 1)
+        v10 = g4(y0i + 1, x0i)
+        v11 = g4(y0i + 1, x0i + 1)
+        win = ((v00 * (1 - dx) + v01 * dx) * (1 - dy) +
+               (v10 * (1 - dx) + v11 * dx) * dy)
+        valid = ((px >= -0.5) & (px <= PLATE_W - 0.5) &
+                 (py >= -0.5) & (py <= PLATE_H - 0.5))[..., None]
+        win = jnp.where(valid, win, 0.0)
+        return win, (oy, ox), corners
+
     @partial(jax.jit, static_argnums=0)
     def add(self, key, bg_batch, r_max_deg: Tuple[float, ...] = (45., 60., 45.),
             add_rate: float = 0.5):
@@ -148,13 +214,16 @@ class LPRenderer:
         ``[valid, X, Y, Z, r1, r2, r3, x_px, y_px, LP_type]`` and -1 rows
         where no plate was added (reference __init__.py:134-166).
         """
-        B = bg_batch.shape[0]
+        B, H, W, _ = bg_batch.shape
         keys = jax.random.split(key, 5)
         chars = self.sample_chars(keys[0], B)
         inks = self.draw_plates(chars)
         poses = jax.vmap(lambda k: self.sample_pose(k, r_max_deg))(
             jax.random.split(keys[1], B))
-        rgb, alpha, centre = jax.vmap(self._project_one)(inks, poses)
+
+        win, (oy, ox), _corners = self._composite_windowed(
+            bg_batch, inks, poses)
+        rgb, alpha = win[..., :3], win[..., 3:]
 
         # photometric: jitter the plate pixels, light blur, sensor noise
         rgb = random_color_jitter(keys[2], rgb, brightness=0.5, contrast=0.5,
@@ -165,7 +234,22 @@ class LPRenderer:
 
         use = (jax.random.uniform(keys[4], (B,)) < add_rate)
         alpha = alpha * use[:, None, None, None]
-        img = jnp.clip(bg_batch * (1 - alpha) + rgb * alpha, 0.0, 1.0)
+
+        def paste(scene, wrgb, wa, y0, x0):
+            wh_, ww_ = wrgb.shape[0], wrgb.shape[1]
+            wbg = jax.lax.dynamic_slice(scene, (y0, x0, 0), (wh_, ww_, 3))
+            blend = jnp.clip(wbg * (1 - wa) + wrgb * wa, 0.0, 1.0)
+            return jax.lax.dynamic_update_slice(scene, blend, (y0, x0, 0))
+
+        img = jax.vmap(paste)(bg_batch, rgb, alpha, oy, ox)
+
+        # projected plate centre (elementwise batched)
+        cam = self.projector.camera
+        cx = (poses[:, 0] * cam.fx / poses[:, 2] + cam.cx) * \
+            (W / float(cam.width))
+        cy = (poses[:, 1] * cam.fy / poses[:, 2] + cam.cy) * \
+            (H / float(cam.height))
+        centre = jnp.stack([cx, cy], -1)
 
         labels = jnp.concatenate([
             jnp.ones((B, 1)), poses, centre, jnp.zeros((B, 1))], -1)
