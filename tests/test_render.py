@@ -164,3 +164,34 @@ def test_plate_projection_lands_at_label_centre():
             patch = np.asarray(imgs[i, int(cy) - 4:int(cy) + 4,
                                     int(cx) - 4:int(cx) + 4])
             assert patch.mean() > 0.15
+
+
+def test_render_cascade_crops():
+    """Cascade-matched OCR data: crops must look like (imperfectly
+    rectified) plates and labels must align with the canonical spans."""
+    r = LPRenderer(320, 512)
+    bg = procedural_backgrounds(jax.random.PRNGKey(20), 2, 320, 512)
+    crops, labels = r.render_cascade(jax.random.PRNGKey(21), bg,
+                                     (30., 30., 30.), pose_noise=0.5)
+    assert crops.shape == (2, 160, 384, 3)
+    assert labels.shape == (2, 7, 3)
+    c = np.asarray(crops)
+    # plate fills most of the strip: bright overall, ink present
+    assert c.mean() > 0.25
+    assert c.min() < 0.45
+    lab = np.asarray(labels)
+    assert (lab[..., 0] >= 0).all()
+    np.testing.assert_allclose(lab[0, 0, 1], SLOT_X[0] / PLATE_W, atol=1e-5)
+
+
+def test_render_cascade_zero_noise_matches_truth_unwarp():
+    """With pose_noise=0 the crop equals the true-pose rectification."""
+    from yolo_tpu.ops.batched_geometry import (project_corners_batched,
+                                               unwarp_plates_batched)
+    r = LPRenderer(320, 512)
+    bg = jnp.zeros((1, 320, 512, 3))
+    crops, labels = r.render_cascade(jax.random.PRNGKey(22), bg,
+                                     (20., 20., 20.), pose_noise=0.0)
+    c = np.asarray(crops[0])
+    # glyph band rows darker than the border rows (readable plate)
+    assert c[40:120].mean() < c[:20].mean()

@@ -257,6 +257,64 @@ class LPRenderer:
         return img, labels[:, None, :]
 
     # ------------------------------------------------------------------
+    # cascade-matched OCR strips: scene -> (noisy-pose) unwarp
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def render_cascade(self, key, bg_batch,
+                       r_max_deg: Tuple[float, ...] = (45., 60., 45.),
+                       pose_noise: float = 1.0):
+        """OCR training data drawn from the SERVING distribution: plates
+        are projected into scenes and rectified with a *perturbed* pose —
+        exactly the crops the fused LPD->unwarp->OCR cascade produces when
+        the detector's pose is imperfect. ``pose_noise`` scales the
+        perturbation (jitters calibrated to the trained LPD's error:
+        ~100 mm XY, ~10% Z, ~0.15 rad rotation).
+
+        Returns (crops (B, 160, 384, 3), labels (B, 7, 3)).
+        The reference could not express this augmentation at all — its
+        OCR only ever saw fronto-parallel synthetic strips.
+        """
+        from yolo_tpu.ops.batched_geometry import (project_corners_batched,
+                                                   unwarp_plates_batched)
+        B, H, W, _ = bg_batch.shape
+        keys = jax.random.split(key, 7)
+        chars = self.sample_chars(keys[0], B)
+        inks = self.draw_plates(chars)
+        poses = jax.vmap(lambda k: self.sample_pose(k, r_max_deg))(
+            jax.random.split(keys[1], B))
+
+        win, (oy, ox), _ = self._composite_windowed(bg_batch, inks, poses)
+        rgb, alpha = win[..., :3], win[..., 3:]
+        rgb = random_color_jitter(keys[2], rgb, brightness=0.5,
+                                  contrast=0.5, saturation=0.5, hue=0.2,
+                                  noise_std=5.0 / 255.0)
+
+        def paste(scene, wrgb, wa, y0, x0):
+            wh_, ww_ = wrgb.shape[0], wrgb.shape[1]
+            wbg = jax.lax.dynamic_slice(scene, (y0, x0, 0), (wh_, ww_, 3))
+            blend = jnp.clip(wbg * (1 - wa) + wrgb * wa, 0.0, 1.0)
+            return jax.lax.dynamic_update_slice(scene, blend, (y0, x0, 0))
+
+        scenes = jax.vmap(paste)(bg_batch, rgb, alpha, oy, ox)
+
+        # perturb the pose the way an imperfect detector would
+        n_xy = jax.random.normal(keys[3], (B, 2)) * 100.0 * pose_noise
+        n_z = poses[:, 2] * (jax.random.normal(keys[4], (B,)) * 0.08
+                             * pose_noise)
+        n_r = jax.random.normal(keys[5], (B, 3)) * 0.15 * pose_noise
+        noisy = jnp.concatenate([
+            poses[:, 0:2] + n_xy,
+            (poses[:, 2] + n_z)[:, None],
+            poses[:, 3:6] + n_r], -1)
+        corners = project_corners_batched(
+            noisy, self.projector.camera, (H, W))
+        crops = unwarp_plates_batched(scenes, corners, (160, 384),
+                                      sample_hw=(80, 192))
+        # canonical char spans: the unwarp maps plate width -> strip width
+        labels = self.char_spans(chars)
+        return crops, labels
+
+    # ------------------------------------------------------------------
     # OCR strip composition (reference `render`)
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=0)

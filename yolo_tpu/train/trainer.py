@@ -101,7 +101,19 @@ class Trainer:
             return self.lp_renderer.add(
                 k1, bg, tuple(self.spec.LP_r_max), add_rate=0.5)
         if kind == "ocr":
-            return self.lp_renderer.render(k1, bg)
+            # mix fronto-parallel strips with cascade-matched noisy-pose
+            # crops (spec cascade_rate in [0,1]; 0 = pure reference mode)
+            rate = self.spec.get("cascade_rate", 0.0)
+            if not rate:
+                return self.lp_renderer.render(k1, bg)
+            ka, kb, kc = jax.random.split(k2, 3)
+            imgs_a, lab_a = self.lp_renderer.render(k1, bg)
+            imgs_b, lab_b = self.lp_renderer.render_cascade(
+                ka, bg, tuple(self.spec.get("LP_r_max", (45., 60., 45.))))
+            pick = (jax.random.uniform(kb, (bg.shape[0],)) < rate)
+            imgs = jnp.where(pick[:, None, None, None], imgs_b, imgs_a)
+            labels = jnp.where(pick[:, None, None], lab_b, lab_a)
+            return imgs, labels
         if kind in ("car", "car_dense"):
             return self.car_renderer.render(
                 k1, bg, render_rate=0.5, pascal_rate=0.2)
