@@ -3,11 +3,15 @@ one jitted function and produce geometrically consistent outputs."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yolo_tpu.config import builtin_spec
 from yolo_tpu.pipeline import (ALPRPipeline, JointPipeline, align_up,
                                pad_frames_to)
 from yolo_tpu.train import make_task
+
+# whole-cascade compiles are multi-minute on CPU
+pytestmark = pytest.mark.slow
 
 
 def tiny_lp_spec():

@@ -112,6 +112,39 @@ def test_car_assignment_encoding_roundtrip():
     np.testing.assert_allclose([by, bx, bh, bw], [cy, cx, h, w], atol=1e-3)
 
 
+def test_car_assignment_multi_object():
+    """Two objects in distinct cells both assign; two objects claiming the
+    SAME (cell, anchor) resolve to the later one (the reference loop's
+    overwrite semantics, car/YOLO.py:466-480)."""
+    spec = builtin_spec("car_v1")
+    assigner = CarTargetAssigner(spec)
+    h0, w0 = spec.all_anchors[0][0]
+
+    # distinct cells: far-apart centres
+    label = np.full((1, 2, 6 + spec.num_class), 0.0, np.float32)
+    label[0, 0, 0] = 1
+    label[0, 0, 1:5] = [8.0 / 320, 8.0 / 512, h0, w0]
+    label[0, 1, 0] = 2
+    label[0, 1, 1:5] = [0.7, 0.7, h0, w0]
+    t = assigner(jnp.asarray(label))
+    assert float(jnp.sum(t.mask)) == 2.0
+
+    # same cell: identical boxes, different rotation payloads -> last wins
+    label[0, 1, 1:5] = label[0, 0, 1:5]
+    label[0, 0, 5] = 0.111
+    label[0, 1, 5] = 0.999
+    t = assigner(jnp.asarray(label))
+    assert float(jnp.sum(t.mask)) == 1.0
+    cell_rot = float(jnp.sum(t.rotate))
+    np.testing.assert_allclose(cell_rot, 0.999, atol=1e-6)
+
+    # invalid second object must not steal the slot from a valid first
+    label[0, 1, 0] = -1.0
+    t = assigner(jnp.asarray(label))
+    assert float(jnp.sum(t.mask)) == 1.0
+    np.testing.assert_allclose(float(jnp.sum(t.rotate)), 0.111, atol=1e-6)
+
+
 def test_car_assignment_invalid_label():
     spec = builtin_spec("car_v1")
     assigner = CarTargetAssigner(spec)

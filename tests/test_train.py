@@ -14,6 +14,10 @@ from yolo_tpu.render import procedural_car_assets
 from yolo_tpu.train import make_task
 from yolo_tpu.train.trainer import Trainer
 
+# whole-module: fused train-step compiles are the slowest things in the
+# suite (CI's fast subset runs with -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 def tiny_car_spec():
     return builtin_spec("car_v1").replace(
@@ -119,6 +123,19 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_distributed_helpers_single_process():
+    """The multi-host wrappers must be safe to call unconditionally in a
+    single-process job (the app entry points do)."""
+    from yolo_tpu.parallel.distributed import (global_mesh, initialize,
+                                               is_primary,
+                                               local_batch_slice)
+    assert initialize() is False          # no coordinator configured
+    assert is_primary()
+    assert local_batch_slice(16) == slice(0, 16)
+    mesh = global_mesh()
+    assert mesh.devices.size == len(jax.devices())
 
 
 def test_train_step_sharded_over_mesh(tmp_path):

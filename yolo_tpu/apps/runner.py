@@ -25,6 +25,12 @@ from yolo_tpu.utils.colors import log
 
 
 def build_trainer(kind: str, spec: Spec, args) -> Trainer:
+    # multi-host: no-op single-process; with JAX_COORDINATOR_ADDRESS set
+    # it joins the DCN control plane and the mesh spans every host's
+    # devices (checkpoints/metrics written by process 0 only)
+    from yolo_tpu.parallel.distributed import (global_mesh, initialize,
+                                               is_primary)
+    multi_host = initialize()
     dtype = jnp.bfloat16 if getattr(args, "bf16", 0) else jnp.float32
     task = make_task(kind, spec, dtype=dtype)
     car_assets = None
@@ -33,10 +39,11 @@ def build_trainer(kind: str, spec: Spec, args) -> Trainer:
         car_assets = Pool.from_directory(args.car_assets)
     trainer = Trainer(
         task, workdir=args.version,
+        mesh=global_mesh() if multi_host else None,
         background_dir=getattr(args, "backgrounds", None),
         batch_size=args.batch or None,
         car_assets=car_assets,
-        record=bool(getattr(args, "record", 1)))
+        record=bool(getattr(args, "record", 1)) and is_primary())
     if getattr(args, "weight", None):
         try:    # full train state (backup dirs)
             trainer.state = restore_checkpoint(args.weight, trainer.state)
@@ -208,8 +215,7 @@ def run_video(kind: str, spec: Spec, args):
             return decode_car(out, grids, spec.slice_point, spec.size)
         fn = jax.jit(infer)
 
-    from yolo_tpu.serve.ros_bridge import ros_available
-    if args.dev == "ros" or (ros_available() and args.dev == "ros"):
+    if args.dev == "ros":
         from yolo_tpu.serve.ros_bridge import RosPublisher
         sinks.append(RosPublisher(spec))
 

@@ -163,7 +163,10 @@ class JointPipeline:
                            ocr_scores=ocr.scores, ocr_cls=ocr.peak_cls)
 
     def jit(self, donate: bool = False):
-        return jax.jit(self.__call__)
+        """``donate=True`` donates the frames buffer to the program —
+        streaming callers that upload a fresh batch every step can reuse
+        its device memory for the outputs."""
+        return jax.jit(self.__call__, donate_argnums=(2,) if donate else ())
 
     def aot_compile(self, joint_variables, ocr_variables, batch: int,
                     frame_hw: Optional[Tuple[int, int]] = None):

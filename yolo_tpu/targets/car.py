@@ -80,18 +80,31 @@ class CarTargetAssigner:
         return hot, box_yx, box_hw, label[5], cls_probs
 
     def __call__(self, labels) -> CarTargets:
-        """labels: (B, num_obj, 6 + num_class)."""
+        """labels: (B, num_obj, 6 + num_class).
+
+        Arbitrary object counts are handled with the reference's overwrite
+        semantics: its per-object python loop assigns targets in order, so
+        when two objects claim the same (cell, anchor) the LAST one wins
+        (car/YOLO.py:466-480). Here that is a one-hot gather of the
+        highest-indexed valid claimant per slot — exact for any count.
+        """
         per_obj = jax.vmap(jax.vmap(self._assign_one))(labels)
         hot, box_yx, box_hw, rot, cls_probs = per_obj
         # hot: (B, O, A, n); values: (B, O, ...)
-        def scatter(values):
-            # values (B, O, K) -> (B, A, n, K); objects land in distinct
-            # cells in this data regime (<=1 object per image in the
-            # reference renderers), so a sum-scatter is exact.
-            return jnp.einsum("boan,bok->bank", hot, values)
+        num_obj = hot.shape[1]
+        priority = hot * (jnp.arange(1, num_obj + 1, dtype=hot.dtype)
+                          [None, :, None, None])
+        winner = jnp.argmax(priority, axis=1)             # (B, A, n)
+        claimed = jnp.max(priority, axis=1) > 0           # (B, A, n)
+        win_hot = jnp.moveaxis(
+            jax.nn.one_hot(winner, num_obj, dtype=hot.dtype), -1, 1)
+        win_hot = win_hot * claimed[:, None].astype(hot.dtype)
 
-        mask = jnp.sum(hot, axis=1)[..., None]            # (B, A, n, 1)
-        mask = jnp.minimum(mask, 1.0)
+        def scatter(values):
+            # values (B, O, K) -> (B, A, n, K), winner-takes-slot
+            return jnp.einsum("boan,bok->bank", win_hot, values)
+
+        mask = claimed[..., None].astype(hot.dtype)       # (B, A, n, 1)
         return CarTargets(
             score=mask,
             box_yx=scatter(box_yx),

@@ -1,0 +1,84 @@
+"""End-to-end fused-cascade accuracy evaluation CLI.
+
+Measures the full serving path — LPD pose -> perspective unwarp with the
+PREDICTED pose -> OCR string — against rendered ground truth
+(tools.evaluate.eval_cascade). The reference never quantified this chain;
+its halves lived in two ROS nodes (licence_plate/LPD_video_node.py ->
+OCR/OCR.py video mode).
+
+    python -m yolo_tpu.tools.cascade_eval \
+        --lp runs/lp_v2/backup --ocr trained/ocr_v1_cascade \
+        --batches 8 --out eval_cascade.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolo_tpu.config import builtin_spec
+from yolo_tpu.tools.evaluate import eval_cascade, eval_lpd
+from yolo_tpu.train import make_task
+from yolo_tpu.train.checkpoint import restore_checkpoint
+from yolo_tpu.train.tasks import TrainState
+
+
+def load_variables(task, path: str):
+    """Restore either a full TrainState backup or a params-only snapshot."""
+    key = jax.random.PRNGKey(0)
+    v = task.init_variables(key)
+    step = 0
+    try:
+        state = TrainState(
+            params=v["params"], batch_stats=v.get("batch_stats", {}),
+            opt_state=optax.adam(1e-3).init(v["params"]),
+            step=jnp.zeros((), jnp.int32))
+        state = restore_checkpoint(path, state)
+        step = int(state.step)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+    except Exception:
+        variables = restore_checkpoint(path, {
+            "params": v["params"],
+            "batch_stats": v.get("batch_stats", {})})
+    return variables, step
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="python -m yolo_tpu.tools.cascade_eval")
+    p.add_argument("--lp", required=True, help="LPD checkpoint dir")
+    p.add_argument("--ocr", required=True, help="OCR checkpoint dir")
+    p.add_argument("--lp-spec", default="lp_v2")
+    p.add_argument("--ocr-spec", default="ocr_v1")
+    p.add_argument("--batches", type=int, default=8)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--with-lpd", action="store_true",
+                   help="also report standalone LPD pose metrics")
+    p.add_argument("--out", default=None, help="write metrics JSON here")
+    args = p.parse_args(argv)
+
+    lp_task = make_task("lp", builtin_spec(args.lp_spec))
+    ocr_task = make_task("ocr", builtin_spec(args.ocr_spec))
+    lp_vars, lp_step = load_variables(lp_task, args.lp)
+    ocr_vars, _ = load_variables(ocr_task, args.ocr)
+
+    m = eval_cascade(lp_task, lp_vars, ocr_task, ocr_vars,
+                     batches=args.batches, batch=args.batch)
+    if args.with_lpd:
+        m.update(eval_lpd(lp_task, lp_vars, batches=args.batches,
+                          batch=args.batch,
+                          r_max=tuple(lp_task.spec.LP_r_max)))
+    m["lpd_step"] = lp_step
+    out = json.dumps(m)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    return m
+
+
+if __name__ == "__main__":
+    main()
