@@ -13,10 +13,72 @@ itself published only ~50 FPS on a Jetson Xavier, README.md:64).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def main_multichip(n_devices: int):
+    """Aggregate-FPS benchmark of the sharded serving path
+    (serve.video.ShardedVideoNode): the global frame batch is sharded over
+    an n-device mesh, every device runs the fused LPD+VOR+OCR pipeline on
+    its shard. Real multi-chip hardware is not attached to this host, so
+    this path runs on virtual CPU devices — the number demonstrates the
+    scaling mechanics, not chip speed (the headline single-chip number is
+    the default mode)."""
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_force_host_platform_device_count="
+                               f"{n_devices}").strip()
+    jax.config.update("jax_platforms", "cpu")
+
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.parallel.mesh import batch_sharding, make_mesh
+    from yolo_tpu.pipeline import JointPipeline
+    from yolo_tpu.train import make_task
+
+    # skeleton-width net on CPU; the point is the sharded program shape
+    spec = builtin_spec("carlp_v1").replace(
+        size=[128, 128], layers=[1, 1, 1, 1, 1, 1],
+        channels=[4, 8, 8, 16, 16, 32, 32])
+    ocr_spec = builtin_spec("ocr_v1").replace(
+        num_init_features=8, growth_rate=4, block_config=[2, 2, 2, 2])
+    joint_task = make_task("carlp", spec)
+    ocr_task = make_task("ocr", ocr_spec)
+    key = jax.random.PRNGKey(0)
+    jv = joint_task.init_variables(key)
+    ov = ocr_task.init_variables(key)
+    pipe = JointPipeline(joint_task, ocr_task, unwarp_sample_hw=(40, 96))
+
+    mesh = make_mesh(n_devices=n_devices)
+    bsh = batch_sharding(mesh)
+    per_dev = 2
+    batch = per_dev * n_devices
+    fn = jax.jit(lambda f: pipe(jv, ov, f), in_shardings=(bsh,))
+    frames = jax.device_put(
+        jax.random.uniform(key, (batch, 128, 128, 3), jnp.float32), bsh)
+
+    res = fn(frames)
+    assert len(res.car.sharding.device_set) == n_devices
+    float(res.car[0, 0])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = fn(frames)
+    float(res.car[0, 0])
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": f"aggregate_fps_{n_devices}dev_sharded_LPD+VOR+OCR",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 1000.0, 4),
+        "batch": batch,
+        "devices": n_devices,
+        "backend": "cpu-virtual",
+    }))
 
 
 def main():
@@ -76,4 +138,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--multichip":
+        main_multichip(int(sys.argv[2]))
+    else:
+        main()

@@ -129,6 +129,39 @@ def test_video_node_counts_batches():
     assert all(np.isfinite(v) for _, v in seen)
 
 
+def test_sharded_video_node_spans_mesh():
+    """Batched stream inference must actually shard over all 8 virtual
+    devices and return per-frame results for the global batch."""
+    from yolo_tpu.parallel import make_mesh
+    from yolo_tpu.serve.video import FrameSource, ShardedVideoNode
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    shardings = []
+    seen = []
+
+    def infer(f):
+        return jnp.mean(f, axis=(1, 2, 3))   # per-frame scalar
+
+    def sink(i, r, fr):
+        seen.append(np.asarray(r))
+
+    node = ShardedVideoNode(infer, mesh, per_device_batch=2, sinks=[sink])
+    assert node.batch == 16
+
+    # capture the on-device sharding of one batch result
+    frames = np.random.default_rng(0).random((16, 32, 48, 3)).astype(
+        np.float32)
+    out = node.infer_fn(frames)
+    shardings.append(out.sharding)
+    assert len(out.sharding.device_set) == 8
+
+    src = FrameSource("synthetic", (32, 48), max_frames=32)
+    stats = node.run(src)
+    assert stats["batches"] == 2
+    assert all(s.shape == (16,) for s in seen)
+
+
 def test_viz_draw_functions():
     from yolo_tpu.utils import viz
     img = np.zeros((64, 96, 3), np.uint8)

@@ -125,19 +125,6 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_distributed_helpers_single_process():
-    """The multi-host wrappers must be safe to call unconditionally in a
-    single-process job (the app entry points do)."""
-    from yolo_tpu.parallel.distributed import (global_mesh, initialize,
-                                               is_primary,
-                                               local_batch_slice)
-    assert initialize() is False          # no coordinator configured
-    assert is_primary()
-    assert local_batch_slice(16) == slice(0, 16)
-    mesh = global_mesh()
-    assert mesh.devices.size == len(jax.devices())
-
-
 def test_train_step_sharded_over_mesh(tmp_path):
     """The batch must actually shard over all 8 virtual devices."""
     mesh = make_mesh()

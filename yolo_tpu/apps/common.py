@@ -56,6 +56,9 @@ def make_parser(prog: str, modes: List[str]) -> argparse.ArgumentParser:
                    help="plot the viewpoint distribution radar")
     p.add_argument("--max-frames", dest="max_frames", type=int, default=64,
                    help="frame budget for video mode (0 = unbounded)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="video mode: shard the stream batch over this many "
+                        "devices (ShardedVideoNode)")
     p.add_argument("--freiburg", default=None,
                    help="Freiburg static-cars dataset root (valid_nima)")
     return p

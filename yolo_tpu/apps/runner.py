@@ -186,9 +186,10 @@ def run_export(kind: str, spec: Spec, args):
 
 
 def run_video(kind: str, spec: Spec, args):
-    """Streaming inference (reference video nodes)."""
-    from yolo_tpu.serve.video import (FrameSource, VideoNode,
-                                      make_ocr_text_sink)
+    """Streaming inference (reference video nodes). ``--devices N`` (N>1)
+    shards the stream batch over an N-device mesh (ShardedVideoNode)."""
+    from yolo_tpu.serve.video import (FrameSource, ShardedVideoNode,
+                                      VideoNode, make_ocr_text_sink)
     trainer = build_trainer(kind, spec, args)
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
@@ -202,7 +203,7 @@ def run_video(kind: str, spec: Spec, args):
             ov = restore_checkpoint(ocr_dir, ov)
         pipe = (JointPipeline if kind == "carlp" else ALPRPipeline)(
             trainer.task, ocr_task)
-        fn = jax.jit(lambda f: pipe(variables, ov, f))
+        raw_fn = lambda f: pipe(variables, ov, f)   # noqa: E731
         sinks.append(make_ocr_text_sink(print_valid_only=False))
     else:
         from yolo_tpu.decode import decode_car
@@ -210,10 +211,9 @@ def run_video(kind: str, spec: Spec, args):
         grids = make_grid_tables(spec.size, spec.steps, spec.all_anchors)
         task = trainer.task
 
-        def infer(f):
+        def raw_fn(f):
             out = task.apply_eval(variables, f)
             return decode_car(out, grids, spec.slice_point, spec.size)
-        fn = jax.jit(infer)
 
     if args.dev == "ros":
         from yolo_tpu.serve.ros_bridge import RosPublisher
@@ -222,7 +222,14 @@ def run_video(kind: str, spec: Spec, args):
     source = FrameSource(args.dev, tuple(spec.size),
                          clip=(args.clip_h, args.clip_w), flip=args.flip,
                          max_frames=getattr(args, "max_frames", 64))
-    node = VideoNode(fn, batch=1, sinks=sinks)
+    n_dev = int(getattr(args, "devices", 1) or 1)
+    if n_dev > 1:
+        from yolo_tpu.parallel import make_mesh
+        node = ShardedVideoNode(raw_fn, make_mesh(n_devices=n_dev),
+                                per_device_batch=max(args.batch, 1)
+                                if args.batch else 1, sinks=sinks)
+    else:
+        node = VideoNode(jax.jit(raw_fn), batch=1, sinks=sinks)
     stats = node.run(source)
     log(f"video done: {stats}", "green")
     return stats

@@ -158,6 +158,32 @@ class VideoNode:
             sink(idx, host, frames)
 
 
+class ShardedVideoNode(VideoNode):
+    """Multi-chip batched stream inference.
+
+    The reference served one stream per GPU process (car/video_node.py);
+    here many streams' frames are stacked into one global batch whose
+    leading axis is sharded over the mesh's ``data`` axis — each chip runs
+    the identical fused pipeline on its shard and results come back as one
+    addressable array. Scale-out is a sharding annotation, exactly like
+    training (parallel.mesh); no NCCL/MPI analogue exists or is needed.
+
+    ``infer_fn`` is the unjitted pipeline callable over (B, H, W, 3);
+    the node jits it with the batch axis sharded. The global batch is
+    ``per_device_batch * mesh.devices.size``.
+    """
+
+    def __init__(self, infer_fn: Callable, mesh,
+                 per_device_batch: int = 1,
+                 sinks: Optional[List[Callable]] = None):
+        from yolo_tpu.parallel.mesh import batch_sharding
+        self.mesh = mesh
+        self.sharding = batch_sharding(mesh)
+        n = int(mesh.devices.size)
+        sharded = jax.jit(infer_fn, in_shardings=(self.sharding,))
+        super().__init__(sharded, batch=per_device_batch * n, sinks=sinks)
+
+
 def make_ocr_text_sink(print_valid_only: bool = True,
                        collect: Optional[list] = None) -> Callable:
     """Sink turning pipeline OCR outputs into plate strings with the
