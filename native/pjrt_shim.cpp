@@ -1,0 +1,349 @@
+// pjrt_shim — native StableHLO serving runtime over the PJRT C API.
+//
+// The reference deployed through a C++ TensorRT ROS node
+// (yolo_ws/src/tensorrt_ros/src/tensorrt.cpp — a non-compiling sketch);
+// its working deployment path was Python MXNet executors. The TPU-native
+// equivalent is this shim: it dlopens ANY PJRT plugin (libaxon_pjrt.so /
+// libtpu.so / a CPU plugin), compiles the StableHLO module produced by
+// yolo_tpu.serve.export, uploads raw frames, executes and reads back
+// results — no Python in the serving loop.
+//
+// Exposed as a C API for ctypes (yolo_tpu/serve/native.py PjrtEngine) and
+// as a standalone CLI (pjrt_shim_main.cpp) that chains the framepipe ring
+// into the executable.
+//
+// Build: make -C native  (needs the PJRT C API header; see Makefile's
+// PJRT_INC autodetection).
+
+#include <dlfcn.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "xla/pjrt/c/pjrt_c_api.h"
+
+namespace {
+
+struct Shim {
+  void* dso = nullptr;
+  const PJRT_Api* api = nullptr;
+  PJRT_Client* client = nullptr;
+  PJRT_Device* device = nullptr;
+  PJRT_LoadedExecutable* exec = nullptr;
+  size_t num_outputs = 0;
+  // last-execution outputs (host copies)
+  std::vector<std::vector<int64_t>> out_dims;
+  std::vector<int> out_types;
+  std::vector<std::vector<uint8_t>> out_data;
+  std::string last_error;
+};
+
+bool check(Shim* s, PJRT_Error* err, const char* what) {
+  if (err == nullptr) return true;
+  PJRT_Error_Message_Args m;
+  memset(&m, 0, sizeof(m));
+  m.struct_size = PJRT_Error_Message_Args_STRUCT_SIZE;
+  m.error = err;
+  s->api->PJRT_Error_Message(&m);
+  s->last_error = std::string(what) + ": " +
+                  std::string(m.message, m.message_size);
+  PJRT_Error_Destroy_Args d;
+  memset(&d, 0, sizeof(d));
+  d.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+  d.error = err;
+  s->api->PJRT_Error_Destroy(&d);
+  return false;
+}
+
+bool await_event(Shim* s, PJRT_Event* ev, const char* what) {
+  if (ev == nullptr) return true;
+  PJRT_Event_Await_Args aw;
+  memset(&aw, 0, sizeof(aw));
+  aw.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+  aw.event = ev;
+  bool ok = check(s, s->api->PJRT_Event_Await(&aw), what);
+  PJRT_Event_Destroy_Args ed;
+  memset(&ed, 0, sizeof(ed));
+  ed.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+  ed.event = ev;
+  s->api->PJRT_Event_Destroy(&ed);
+  return ok;
+}
+
+// Minimal hand-encoded xla.CompileOptionsProto (the C API takes the
+// serialized proto; we avoid a protobuf dependency):
+//   executable_build_options (field 3) {
+//     device_ordinal: -1 (field 1), num_replicas: 1 (field 4),
+//     num_partitions: 1 (field 5) }
+std::string default_compile_options() {
+  std::string ebo;
+  ebo.push_back('\x08');                      // field 1, varint
+  for (int i = 0; i < 9; i++) ebo.push_back('\xff');   // -1 as int64
+  ebo.push_back('\x01');
+  ebo.push_back('\x20');                      // field 4, varint
+  ebo.push_back('\x01');                      // num_replicas = 1
+  ebo.push_back('\x28');                      // field 5, varint
+  ebo.push_back('\x01');                      // num_partitions = 1
+  std::string out;
+  out.push_back('\x1a');                      // field 3, length-delimited
+  out.push_back(static_cast<char>(ebo.size()));
+  out += ebo;
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Create a client from a PJRT plugin shared object. Returns nullptr on
+// failure (use ps_last_error on a zeroed Shim not possible then; the error
+// goes to stderr).
+void* ps_create(const char* plugin_path) {
+  Shim* s = new Shim();
+  s->dso = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
+  if (!s->dso) {
+    fprintf(stderr, "pjrt_shim: dlopen(%s): %s\n", plugin_path, dlerror());
+    delete s;
+    return nullptr;
+  }
+  using GetApiFn = const PJRT_Api* (*)();
+  auto get_api = reinterpret_cast<GetApiFn>(dlsym(s->dso, "GetPjrtApi"));
+  if (!get_api) {
+    fprintf(stderr, "pjrt_shim: no GetPjrtApi in %s\n", plugin_path);
+    delete s;
+    return nullptr;
+  }
+  s->api = get_api();
+
+  PJRT_Plugin_Initialize_Args init;
+  memset(&init, 0, sizeof(init));
+  init.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
+  if (!check(s, s->api->PJRT_Plugin_Initialize(&init), "plugin_init")) {
+    fprintf(stderr, "pjrt_shim: %s\n", s->last_error.c_str());
+    delete s;
+    return nullptr;
+  }
+
+  PJRT_Client_Create_Args cc;
+  memset(&cc, 0, sizeof(cc));
+  cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  if (!check(s, s->api->PJRT_Client_Create(&cc), "client_create")) {
+    fprintf(stderr, "pjrt_shim: %s\n", s->last_error.c_str());
+    delete s;
+    return nullptr;
+  }
+  s->client = cc.client;
+
+  PJRT_Client_AddressableDevices_Args ad;
+  memset(&ad, 0, sizeof(ad));
+  ad.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
+  ad.client = s->client;
+  if (!check(s, s->api->PJRT_Client_AddressableDevices(&ad), "devices") ||
+      ad.num_addressable_devices == 0) {
+    fprintf(stderr, "pjrt_shim: no addressable devices\n");
+    delete s;
+    return nullptr;
+  }
+  s->device = ad.addressable_devices[0];
+  return s;
+}
+
+const char* ps_last_error(void* handle) {
+  return static_cast<Shim*>(handle)->last_error.c_str();
+}
+
+// Compile StableHLO (MLIR bytecode or text). Returns 0 on success.
+int ps_compile(void* handle, const char* code, size_t code_size) {
+  Shim* s = static_cast<Shim*>(handle);
+  PJRT_Program prog;
+  memset(&prog, 0, sizeof(prog));
+  prog.struct_size = PJRT_Program_STRUCT_SIZE;
+  prog.code = const_cast<char*>(code);
+  prog.code_size = code_size;
+  static const char kFormat[] = "mlir";
+  prog.format = kFormat;
+  prog.format_size = sizeof(kFormat) - 1;
+
+  std::string opts = default_compile_options();
+  PJRT_Client_Compile_Args c;
+  memset(&c, 0, sizeof(c));
+  c.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+  c.client = s->client;
+  c.program = &prog;
+  c.compile_options = opts.data();
+  c.compile_options_size = opts.size();
+  if (!check(s, s->api->PJRT_Client_Compile(&c), "compile")) return 1;
+  s->exec = c.executable;
+
+  PJRT_LoadedExecutable_GetExecutable_Args ge;
+  memset(&ge, 0, sizeof(ge));
+  ge.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  ge.loaded_executable = s->exec;
+  if (!check(s, s->api->PJRT_LoadedExecutable_GetExecutable(&ge),
+             "get_executable"))
+    return 1;
+  PJRT_Executable_NumOutputs_Args no;
+  memset(&no, 0, sizeof(no));
+  no.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+  no.executable = ge.executable;
+  if (!check(s, s->api->PJRT_Executable_NumOutputs(&no), "num_outputs"))
+    return 1;
+  s->num_outputs = no.num_outputs;
+  return 0;
+}
+
+// Execute on one device with n_args dense float32/int32 arrays.
+// types[i]: 0 = f32, 1 = s32, 2 = u8. Returns number of outputs, or -1.
+int ps_execute(void* handle, const void* const* args_data,
+               const int64_t* const* args_dims, const int* args_ndims,
+               const int* args_types, int n_args) {
+  Shim* s = static_cast<Shim*>(handle);
+  std::vector<PJRT_Buffer*> in_bufs(n_args, nullptr);
+
+  for (int i = 0; i < n_args; i++) {
+    PJRT_Client_BufferFromHostBuffer_Args b;
+    memset(&b, 0, sizeof(b));
+    b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+    b.client = s->client;
+    b.data = args_data[i];
+    b.type = args_types[i] == 0 ? PJRT_Buffer_Type_F32
+             : args_types[i] == 1 ? PJRT_Buffer_Type_S32
+                                  : PJRT_Buffer_Type_U8;
+    b.dims = args_dims[i];
+    b.num_dims = static_cast<size_t>(args_ndims[i]);
+    b.host_buffer_semantics =
+        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+    b.device = s->device;
+    if (!check(s, s->api->PJRT_Client_BufferFromHostBuffer(&b), "h2d"))
+      return -1;
+    if (!await_event(s, b.done_with_host_buffer, "h2d_event")) return -1;
+    in_bufs[i] = b.buffer;
+  }
+
+  std::vector<PJRT_Buffer*> outs(s->num_outputs, nullptr);
+  PJRT_Buffer** out_list = outs.data();
+  PJRT_Buffer* const* arg_list = in_bufs.data();
+  PJRT_Event* done = nullptr;
+
+  PJRT_ExecuteOptions opts;
+  memset(&opts, 0, sizeof(opts));
+  opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+  PJRT_LoadedExecutable_Execute_Args ex;
+  memset(&ex, 0, sizeof(ex));
+  ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+  ex.executable = s->exec;
+  ex.options = &opts;
+  ex.argument_lists = &arg_list;
+  ex.num_devices = 1;
+  ex.num_args = static_cast<size_t>(n_args);
+  ex.output_lists = &out_list;
+  ex.device_complete_events = &done;
+  ex.execute_device = s->device;
+  bool ok = check(s, s->api->PJRT_LoadedExecutable_Execute(&ex), "execute");
+  if (ok) ok = await_event(s, done, "execute_event");
+
+  // destroy inputs
+  for (auto* buf : in_bufs) {
+    PJRT_Buffer_Destroy_Args d;
+    memset(&d, 0, sizeof(d));
+    d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    d.buffer = buf;
+    s->api->PJRT_Buffer_Destroy(&d);
+  }
+  if (!ok) return -1;
+
+  // read back every output
+  s->out_dims.assign(s->num_outputs, {});
+  s->out_types.assign(s->num_outputs, -1);
+  s->out_data.assign(s->num_outputs, {});
+  for (size_t i = 0; i < s->num_outputs; i++) {
+    PJRT_Buffer* buf = outs[i];
+
+    PJRT_Buffer_Dimensions_Args dd;
+    memset(&dd, 0, sizeof(dd));
+    dd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+    dd.buffer = buf;
+    if (!check(s, s->api->PJRT_Buffer_Dimensions(&dd), "dims")) return -1;
+    s->out_dims[i].assign(dd.dims, dd.dims + dd.num_dims);
+
+    PJRT_Buffer_ElementType_Args et;
+    memset(&et, 0, sizeof(et));
+    et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+    et.buffer = buf;
+    if (!check(s, s->api->PJRT_Buffer_ElementType(&et), "etype")) return -1;
+    s->out_types[i] = static_cast<int>(et.type);
+
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = buf;
+    th.dst = nullptr;                // size query
+    if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h_size"))
+      return -1;
+    s->out_data[i].resize(th.dst_size);
+    th.dst = s->out_data[i].data();
+    if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h")) return -1;
+    if (!await_event(s, th.event, "d2h_event")) return -1;
+
+    PJRT_Buffer_Destroy_Args d;
+    memset(&d, 0, sizeof(d));
+    d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    d.buffer = buf;
+    s->api->PJRT_Buffer_Destroy(&d);
+  }
+  return static_cast<int>(s->num_outputs);
+}
+
+int ps_output_rank(void* handle, int i) {
+  Shim* s = static_cast<Shim*>(handle);
+  return static_cast<int>(s->out_dims[i].size());
+}
+
+void ps_output_dims(void* handle, int i, int64_t* dims_out) {
+  Shim* s = static_cast<Shim*>(handle);
+  memcpy(dims_out, s->out_dims[i].data(),
+         s->out_dims[i].size() * sizeof(int64_t));
+}
+
+// PJRT_Buffer_Type enum value of output i (13 == F32 in the v0.x enum;
+// the Python side maps via its own copy of the enum table).
+int ps_output_type(void* handle, int i) {
+  return static_cast<Shim*>(handle)->out_types[i];
+}
+
+int64_t ps_output_nbytes(void* handle, int i) {
+  return static_cast<int64_t>(
+      static_cast<Shim*>(handle)->out_data[i].size());
+}
+
+void ps_output_read(void* handle, int i, void* dst) {
+  Shim* s = static_cast<Shim*>(handle);
+  memcpy(dst, s->out_data[i].data(), s->out_data[i].size());
+}
+
+void ps_destroy(void* handle) {
+  Shim* s = static_cast<Shim*>(handle);
+  if (s->exec) {
+    PJRT_LoadedExecutable_Destroy_Args d;
+    memset(&d, 0, sizeof(d));
+    d.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;
+    d.executable = s->exec;
+    s->api->PJRT_LoadedExecutable_Destroy(&d);
+  }
+  if (s->client) {
+    PJRT_Client_Destroy_Args d;
+    memset(&d, 0, sizeof(d));
+    d.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+    d.client = s->client;
+    s->api->PJRT_Client_Destroy(&d);
+  }
+  // NOTE: we leak the dlopened plugin on purpose — PJRT plugins do not
+  // support re-initialisation after dlclose in one process.
+  delete s;
+}
+
+}  // extern "C"

@@ -81,3 +81,25 @@ def test_ppm_stream_producer(lib, tmp_path):
     assert out.shape[0] == 3
     np.testing.assert_allclose(out[2], frames[2] / 255.0, atol=1e-6)
     ring.close()
+
+
+# ---------------------------------------------------------------------
+# PJRT serving shim (native/pjrt_shim.cpp)
+# ---------------------------------------------------------------------
+def test_pjrt_shim_builds():
+    from yolo_tpu.serve.native import load_pjrt_library
+    lib = load_pjrt_library(build=True)
+    if lib is None:
+        pytest.skip("no C++ toolchain / PJRT header available")
+    assert hasattr(lib, "ps_create")
+
+
+@pytest.mark.skipif(
+    not os.environ.get("YOLO_TPU_PJRT_PLUGIN"),
+    reason="set YOLO_TPU_PJRT_PLUGIN=<plugin.so> to run the round trip "
+           "(needs exclusive device access)")
+def test_pjrt_roundtrip_small_model():
+    """Python export -> C++ PJRT execute -> outputs match jax."""
+    from yolo_tpu.tools.pjrt_roundtrip import main
+    result = main(["--plugin", os.environ["YOLO_TPU_PJRT_PLUGIN"]])
+    assert result["ok"], result

@@ -29,3 +29,37 @@ def test_best_cell_decode_under_jit():
     f = jax.jit(lambda m: best_cell_decode(m, interpret=True))
     rows, idx = f(merged)
     assert rows.shape == (2, 16) and idx.shape == (2,)
+
+
+def test_decode_car_pallas_matches_xla():
+    """The integrated fused decode must agree with the XLA path (and hence
+    with the recorded reference semantics in tests/test_parity.py)."""
+    import os
+    from yolo_tpu.decode import decode_car, decode_car_pallas
+    from yolo_tpu.ops.boxes import make_grid_tables
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                             "parity.npz"))
+    size = (320, 512)
+    anchors = [
+        [[0.2216, 0.1552], [0.2144, 0.2408], [0.2825, 0.3456]],
+        [[0.3959, 0.2706], [0.3703, 0.4351], [0.5708, 0.4278]],
+        [[0.4345, 0.6063], [0.5584, 0.7174], [0.7448, 0.6772]]]
+    grids = make_grid_tables(size, [int(s) for s in g["car_steps"]], anchors)
+    outs = [jnp.asarray(g[f"car_out{i}"]) for i in range(3)]
+    ref = np.asarray(decode_car(outs, grids, [1, 3, 5, 6, 30], size))
+    got = np.asarray(decode_car_pallas(outs, grids, [1, 3, 5, 6, 30], size))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_decode_lp_pallas_matches_xla():
+    import os
+    from yolo_tpu.decode import decode_lp, decode_lp_pallas
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                             "parity.npz"))
+    lp_map = jnp.asarray(g["lp_map"])
+    r_max = list(g["lp_r_max"])
+    ref = np.asarray(decode_lp(lp_map, r_max))
+    got = np.asarray(decode_lp_pallas(lp_map, r_max))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

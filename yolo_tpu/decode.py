@@ -58,6 +58,53 @@ def decode_car(outputs, grids: GridTables, slice_point: Sequence[int],
     return jnp.concatenate([pred[:, :1], yxhw, pred[:, 5:]], -1)
 
 
+def decode_car_pallas(outputs, grids: GridTables,
+                      slice_point: Sequence[int], size: Sequence[int]):
+    """decode_car with the argmax/select fused in VMEM
+    (pallas.decode_kernel.best_cell_decode): instead of materialising the
+    fully decoded (B, cells, anchors, 5+C) tensor in HBM and gathering one
+    row, the kernel scans the raw merged head once and emits only the
+    winning row per image; the box transform then runs on (B, 4) scalars.
+    Bit-identical argmax semantics (raw score logit is monotonic in
+    sigmoid). Falls back to interpret mode off-TPU.
+    """
+    from yolo_tpu.pallas.decode_kernel import best_cell_decode
+
+    B = outputs[0].shape[0]
+    C = outputs[0].shape[-1]
+    merged = jnp.concatenate([o.reshape(B, -1, C) for o in outputs], 1)
+    rows, idx = best_cell_decode(merged)          # (B, C), (B,)
+
+    n = grids.h.shape[1]
+    cell = idx // n
+    anchor = idx % n
+    step = grids.step[cell, anchor, 0]
+    gy = grids.y[cell, anchor, 0]
+    gx = grids.x[cell, anchor, 0]
+    ah = grids.h[cell, anchor, 0]
+    aw = grids.w[cell, anchor, 0]
+
+    score = sigmoid(rows[:, 0:1])
+    by = (sigmoid(rows[:, 1]) * step + gy) / size[0]
+    bx = (sigmoid(rows[:, 2]) * step + gx) / size[1]
+    bh = jnp.exp(rows[:, 3]) * ah
+    bw = jnp.exp(rows[:, 4]) * aw
+    yxhw = jnp.stack([by, bx, bh, bw], -1)
+    return jnp.concatenate([score, yxhw, rows[:, 5:]], -1)
+
+
+def decode_lp_pallas(lp_map, r_max_deg: Sequence[float]):
+    """decode_lp via the fused VMEM best-cell kernel (see
+    decode_car_pallas)."""
+    from yolo_tpu.pallas.decode_kernel import best_cell_decode
+
+    B = lp_map.shape[0]
+    flat = lp_map.reshape(B, -1, lp_map.shape[-1])
+    rows, _ = best_cell_decode(flat)
+    pose = lp_pose_activation(rows[:, 1:7], r_max_deg)
+    return jnp.concatenate([sigmoid(rows[:, 0:1]), pose], -1)
+
+
 def decode_car_all(outputs, grids: GridTables, slice_point: Sequence[int],
                    size: Sequence[int]):
     """All-cell decode: (score (B,A,n,1), ltrb (B,A,n,4), rest) for NMS or

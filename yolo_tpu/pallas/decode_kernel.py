@@ -31,14 +31,17 @@ def _kernel(in_ref, row_ref, idx_ref):
     row_ref[0, :] = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=0)[0]
 
 
-def best_cell_decode(merged, interpret: bool = False):
+def best_cell_decode(merged, interpret=None):
     """merged: (B, R, C) raw head rows (score logit in column 0).
 
     Returns (rows (B, C), idx (B,) int32) — the per-image argmax-score
-    row and its flat cell index.
+    row and its flat cell index. ``interpret`` defaults to True off-TPU
+    so the same call site runs everywhere (Mosaic compiles TPU-only).
     """
     from jax.experimental import pallas as pl
 
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, R, C = merged.shape
     rows, idx = pl.pallas_call(
         _kernel,

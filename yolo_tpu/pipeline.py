@@ -20,7 +20,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from yolo_tpu.decode import (cls2ang, decode_car, decode_lp, decode_ocr,
+from yolo_tpu.decode import (cls2ang, decode_car, decode_car_pallas,
+                             decode_lp, decode_lp_pallas, decode_ocr,
                              make_angle_offsets)
 from yolo_tpu.ops.boxes import make_grid_tables
 from yolo_tpu.ops.batched_geometry import (project_corners_batched,
@@ -89,13 +90,16 @@ class ALPRPipeline:
 
     def __init__(self, lp_task, ocr_task,
                  camera: CameraIntrinsics = CameraIntrinsics(),
-                 unwarp_sample_hw=(80, 192), warp_impl: str = "gather"):
+                 unwarp_sample_hw=(80, 192), warp_impl: str = "gather",
+                 decode_impl: str = "xla"):
         self.lp_task = lp_task
         self.ocr_task = ocr_task
         self.spec = lp_task.spec
         self.projector = PlateProjector(camera=camera)
         self.unwarp_sample_hw = unwarp_sample_hw
         self.warp_impl = warp_impl
+        self._decode_lp = (decode_lp_pallas if decode_impl == "pallas"
+                           else decode_lp)
 
     def _unwarp_batch(self, images, lp_pred, input_hw):
         # natively batched projection + one-gather warp: the vmapped
@@ -109,7 +113,8 @@ class ALPRPipeline:
     def __call__(self, lp_variables, ocr_variables, images) -> ALPRResult:
         input_hw = images.shape[1:3]
         lp_map = self.lp_task.apply_eval(lp_variables, images)
-        lp_pred = decode_lp(lp_map.astype(jnp.float32), self.spec.LP_r_max)
+        lp_pred = self._decode_lp(lp_map.astype(jnp.float32),
+                                  self.spec.LP_r_max)
         corners, crops = self._unwarp_batch(images, lp_pred, input_hw)
         score_x, class_x = self.ocr_task.apply_eval(ocr_variables, crops)
         ocr = decode_ocr(score_x.astype(jnp.float32),
@@ -126,13 +131,18 @@ class JointPipeline:
 
     def __init__(self, joint_task, ocr_task,
                  camera: CameraIntrinsics = CameraIntrinsics(),
-                 unwarp_sample_hw=(80, 192), warp_impl: str = "gather"):
+                 unwarp_sample_hw=(80, 192), warp_impl: str = "gather",
+                 decode_impl: str = "xla"):
         self.joint_task = joint_task
         self.ocr_task = ocr_task
         self.spec = joint_task.spec
         self.projector = PlateProjector(camera=camera)
         self.unwarp_sample_hw = unwarp_sample_hw
         self.warp_impl = warp_impl
+        self._decode_lp = (decode_lp_pallas if decode_impl == "pallas"
+                           else decode_lp)
+        self._decode_car = (decode_car_pallas if decode_impl == "pallas"
+                            else decode_car)
         self.grids = make_grid_tables(
             self.spec.size, self.spec.steps, self.spec.all_anchors)
         self.cos_off, self.sin_off = make_angle_offsets(self.spec.classes)
@@ -144,12 +154,13 @@ class JointPipeline:
         car_out, lp_map = self.joint_task.apply_eval(joint_variables, images)
         car_out = [o.astype(jnp.float32) for o in car_out]
 
-        car = decode_car(car_out, self.grids, spec.slice_point, spec.size)
+        car = self._decode_car(car_out, self.grids, spec.slice_point,
+                               spec.size)
         # slot 5 <- circular-expectation azimuth (video_node.py:245-251)
         azi, _rad = cls2ang(car[:, 0], car[:, 6:], self.cos_off, self.sin_off)
         car = car.at[:, 5].set(azi)
 
-        lp_pred = decode_lp(lp_map.astype(jnp.float32), spec.LP_r_max)
+        lp_pred = self._decode_lp(lp_map.astype(jnp.float32), spec.LP_r_max)
 
         corners = project_corners_batched(
             lp_pred[:, 1:7], self.projector.camera, net_hw)

@@ -31,6 +31,10 @@ def export_model(fn: Callable, example_args: Tuple, variables: Any,
     with open(os.path.join(export_dir, "model.stablehlo"), "wb") as f:
         f.write(blob)
     save_checkpoint(os.path.join(export_dir, "params"), variables, step=0)
+    # closed-over raw StableHLO twin for the native PJRT shim (weights as
+    # constants, data-only signature — the TRT-engine role)
+    export_stablehlo(lambda *a: fn(variables, *a), example_args,
+                     os.path.join(export_dir, "module_pjrt.mlir"))
     info = {"in_avals": [str(a) for a in exported.in_avals],
             "out_avals": [str(a) for a in exported.out_avals],
             "platforms": list(exported.platforms)}
@@ -38,6 +42,21 @@ def export_model(fn: Callable, example_args: Tuple, variables: Any,
     with open(os.path.join(export_dir, "meta.json"), "w") as f:
         json.dump(info, f, indent=2)
     return exported
+
+
+def export_stablehlo(fn: Callable, example_args: Tuple, path: str,
+                     platforms=None) -> bytes:
+    """Lower ``jit(fn)(*example_args)`` to RAW portable StableHLO bytecode
+    (no jax calling-convention wrapper) — the artifact a PJRT C API client
+    compiles directly (native/pjrt_shim.cpp). Close parameters over in
+    ``fn`` so the module's signature is data-only, like a TensorRT engine.
+    """
+    exported = jax.export.export(jax.jit(fn), platforms=platforms)(
+        *example_args)
+    blob = exported.mlir_module_serialized
+    with open(path, "wb") as f:
+        f.write(blob)
+    return blob
 
 
 def load_exported(export_dir: str, variables_template: Any = None):

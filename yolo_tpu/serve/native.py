@@ -110,6 +110,128 @@ class FrameRing:
             self._ptr = None
 
 
+_PJRT_LIB_PATH = os.path.join(_NATIVE_DIR, "libpjrt_shim.so")
+_pjrt_lib = None
+
+# PJRT_Buffer_Type enum (xla/pjrt/c/pjrt_c_api.h) -> numpy dtype
+_PJRT_TYPE_NP = {1: np.bool_, 2: np.int8, 3: np.int16, 4: np.int32,
+                 5: np.int64, 6: np.uint8, 7: np.uint16, 8: np.uint32,
+                 9: np.uint64, 10: np.float16, 11: np.float32,
+                 12: np.float64}
+
+
+def load_pjrt_library(build: bool = True) -> Optional[ctypes.CDLL]:
+    global _pjrt_lib
+    if _pjrt_lib is not None:
+        return _pjrt_lib
+    if not os.path.exists(_PJRT_LIB_PATH) and build:
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libpjrt_shim.so"],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    if not os.path.exists(_PJRT_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_PJRT_LIB_PATH)
+    lib.ps_create.restype = ctypes.c_void_p
+    lib.ps_create.argtypes = [ctypes.c_char_p]
+    lib.ps_last_error.restype = ctypes.c_char_p
+    lib.ps_last_error.argtypes = [ctypes.c_void_p]
+    lib.ps_compile.restype = ctypes.c_int
+    lib.ps_compile.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                               ctypes.c_size_t]
+    lib.ps_execute.restype = ctypes.c_int
+    lib.ps_execute.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
+    lib.ps_output_rank.restype = ctypes.c_int
+    lib.ps_output_rank.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ps_output_dims.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_int64)]
+    lib.ps_output_type.restype = ctypes.c_int
+    lib.ps_output_type.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ps_output_nbytes.restype = ctypes.c_int64
+    lib.ps_output_nbytes.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ps_output_read.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.c_void_p]
+    lib.ps_destroy.argtypes = [ctypes.c_void_p]
+    _pjrt_lib = lib
+    return lib
+
+
+class PjrtEngine:
+    """Native StableHLO executor over the PJRT C API (native/pjrt_shim.cpp).
+
+    The serving analogue of the reference's TensorRT engine wrapper
+    (yolo_modules/tensorrt_module.py:160-201): load a compiled artifact,
+    feed host arrays, get host arrays back — except the artifact is the
+    portable StableHLO module written by serve.export and the backend is
+    any PJRT plugin (TPU: /opt/axon/libaxon_pjrt.so or libtpu.so).
+    """
+
+    def __init__(self, plugin_path: str, module_path: Optional[str] = None,
+                 module_bytes: Optional[bytes] = None):
+        self.lib = load_pjrt_library()
+        if self.lib is None:
+            raise RuntimeError("native pjrt_shim library unavailable")
+        self._ptr = ctypes.c_void_p(self.lib.ps_create(plugin_path.encode()))
+        if not self._ptr:
+            raise RuntimeError(f"PJRT client creation failed for "
+                               f"{plugin_path}")
+        if module_bytes is None:
+            with open(module_path, "rb") as f:
+                module_bytes = f.read()
+        rc = self.lib.ps_compile(self._ptr, module_bytes, len(module_bytes))
+        if rc != 0:
+            raise RuntimeError("PJRT compile failed: " +
+                               self.lib.ps_last_error(self._ptr).decode())
+
+    def __call__(self, *args: np.ndarray):
+        n = len(args)
+        arrs = [np.ascontiguousarray(a) for a in args]
+        data = (ctypes.c_void_p * n)(
+            *[a.ctypes.data_as(ctypes.c_void_p) for a in arrs])
+        dim_arrays = [(ctypes.c_int64 * a.ndim)(*a.shape) for a in arrs]
+        dims = (ctypes.POINTER(ctypes.c_int64) * n)(*dim_arrays)
+        ndims = (ctypes.c_int * n)(*[a.ndim for a in arrs])
+
+        def type_code(a):
+            if a.dtype == np.float32:
+                return 0
+            if a.dtype == np.int32:
+                return 1
+            if a.dtype == np.uint8:
+                return 2
+            raise TypeError(f"unsupported input dtype {a.dtype}")
+        types = (ctypes.c_int * n)(*[type_code(a) for a in arrs])
+
+        n_out = self.lib.ps_execute(self._ptr, data, dims, ndims, types, n)
+        if n_out < 0:
+            raise RuntimeError("PJRT execute failed: " +
+                               self.lib.ps_last_error(self._ptr).decode())
+        outs = []
+        for i in range(n_out):
+            rank = self.lib.ps_output_rank(self._ptr, i)
+            dbuf = (ctypes.c_int64 * max(rank, 1))()
+            self.lib.ps_output_dims(self._ptr, i, dbuf)
+            shape = tuple(dbuf[k] for k in range(rank))
+            dt = _PJRT_TYPE_NP.get(self.lib.ps_output_type(self._ptr, i))
+            nbytes = self.lib.ps_output_nbytes(self._ptr, i)
+            raw = np.empty(nbytes, np.uint8)
+            self.lib.ps_output_read(self._ptr, i,
+                                    raw.ctypes.data_as(ctypes.c_void_p))
+            outs.append(raw.view(dt).reshape(shape) if dt is not None
+                        else raw)
+        return outs
+
+    def close(self):
+        if self._ptr:
+            self.lib.ps_destroy(self._ptr)
+            self._ptr = None
+
+
 def native_letterbox(rgb_u8: np.ndarray, out_hw, fill: float = 0.5
                      ) -> Optional[np.ndarray]:
     """Single-frame fused letterbox+normalize; None without the library."""

@@ -17,33 +17,24 @@ import json
 
 import jax
 import jax.numpy as jnp
-import optax
+
 
 from yolo_tpu.config import builtin_spec
 from yolo_tpu.tools.evaluate import eval_cascade, eval_lpd
 from yolo_tpu.train import make_task
-from yolo_tpu.train.checkpoint import restore_checkpoint
-from yolo_tpu.train.tasks import TrainState
+from yolo_tpu.train.checkpoint import restore_tree
+
 
 
 def load_variables(task, path: str):
-    """Restore either a full TrainState backup or a params-only snapshot."""
-    key = jax.random.PRNGKey(0)
-    v = task.init_variables(key)
-    step = 0
-    try:
-        state = TrainState(
-            params=v["params"], batch_stats=v.get("batch_stats", {}),
-            opt_state=optax.adam(1e-3).init(v["params"]),
-            step=jnp.zeros((), jnp.int32))
-        state = restore_checkpoint(path, state)
-        step = int(state.step)
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
-    except Exception:
-        variables = restore_checkpoint(path, {
-            "params": v["params"],
-            "batch_stats": v.get("batch_stats", {})})
+    """Restore either a full TrainState backup or a params-only snapshot.
+    Template-free (restore_tree), so it works regardless of the optimizer
+    the run used."""
+    tree = restore_tree(path)
+    step = int(jnp.asarray(tree.get("step", 0)).item()) \
+        if "step" in tree else 0
+    variables = {"params": tree["params"],
+                 "batch_stats": tree.get("batch_stats", {})}
     return variables, step
 
 

@@ -39,6 +39,21 @@ def latest_checkpoint(directory: str) -> Optional[int]:
         return None
 
 
+def restore_tree(directory: str, step: Optional[int] = None) -> Any:
+    """Template-free restore: returns the raw stored pytree (nested dicts).
+    Useful for tools that only need params/batch_stats out of a full
+    TrainState backup without reconstructing its optimizer structure."""
+    mgr = _manager(directory)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(f"no checkpoint under {directory}")
+    restored = mgr.restore(step)
+    mgr.close()
+    return restored
+
+
 def restore_checkpoint(directory: str, template: Any,
                        step: Optional[int] = None) -> Any:
     """Restore into the structure of ``template`` (a concrete TrainState)."""

@@ -192,6 +192,11 @@ class Trainer:
             if record_step and step % record_step == 0:
                 save_checkpoint(self.backup_dir, state, step)
         self.state = state
+        # always checkpoint the final step (a run whose length is not a
+        # multiple of record_step must not lose its tail)
+        step = int(state.step)
+        if record_step and step % record_step != 0:
+            save_checkpoint(self.backup_dir, state, step)
         return state
 
     # ------------------------------------------------------------------
