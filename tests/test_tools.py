@@ -151,3 +151,46 @@ def test_record_path(tmp_path):
     ratio = plot_path(track, "AYM0231", str(tmp_path / "p.png"))
     assert ratio == pytest.approx(0.5)
     assert (tmp_path / "p.png").exists()
+
+
+# ---------------------------------------------------------------------
+# PX4/MAVROS offboard adapter (tools/offboard.py)
+# ---------------------------------------------------------------------
+def test_offboard_velocity_forward_and_staleness():
+    from yolo_tpu.tools.offboard import (HOVER, MODE_VELOCITY,
+                                         OffboardStateMachine)
+    sm = OffboardStateMachine()
+    sm.on_fly_mode(MODE_VELOCITY)
+    sm.on_twist(0.1, -0.2, 0.05, 0.3, stamp=100.0)
+    kind, v = sm.setpoint_out(now=100.5)
+    assert kind == "velocity" and v == (0.1, -0.2, 0.05, 0.3)
+    # stale (>1 s old) -> hover (reference "Loss Command, Hovering")
+    kind, v = sm.setpoint_out(now=101.5)
+    assert kind == "velocity" and v == HOVER
+
+
+def test_offboard_mode_and_arm_requests_throttled():
+    from yolo_tpu.tools.offboard import OffboardStateMachine
+    sm = OffboardStateMachine()
+    assert sm.service_requests(10.0, "MANUAL", False) == \
+        [("set_mode", "OFFBOARD")]
+    # within 5 s: no repeat
+    assert sm.service_requests(12.0, "MANUAL", False) == []
+    # after the interval, offboard granted -> arm next
+    assert sm.service_requests(16.0, "OFFBOARD", False) == [("arm", True)]
+    assert sm.service_requests(22.0, "OFFBOARD", True) == []
+
+
+def test_offboard_keyboard_and_land():
+    from yolo_tpu.tools.offboard import MODE_DOWN, OffboardStateMachine
+    sm = OffboardStateMachine()
+    assert sm.on_key("w") and sm.on_key("up")
+    assert sm.setpoint == [0.05, 0.0, 0.9]
+    kind, pose = sm.setpoint_out(0.0)
+    assert kind == "position" and pose == [0.05, 0.0, 0.9]
+    sm.on_fly_mode(MODE_DOWN)
+    assert sm.setpoint_out(0.0) == ("velocity", (0.0, 0.0, -0.2, 0.0))
+    sm.on_land(True)
+    assert sm.service_requests(99.0, "OFFBOARD", True) == \
+        [("set_mode", "MANUAL"), ("arm", False)]
+    assert sm.setpoint == [0.0, 0.0, 0.8]

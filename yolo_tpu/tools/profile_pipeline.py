@@ -1,0 +1,163 @@
+"""Per-stage timing of the fused serving pipeline on the current backend.
+
+Answers "where does the millisecond go" for the headline bench
+configuration (JointPipeline at 448x448, batch 64, bf16): times the
+joint network forward alone, +decode (xla vs pallas), +unwarp (gather vs
+matmul, at both sampling resolutions), and the full cascade with OCR.
+Prints one markdown table + a JSON line; optionally writes a
+jax.profiler trace.
+
+Timing method (axon transport): dispatch N iterations, read one scalar
+from the LAST result — the device executes FIFO so the readback is a
+barrier over all N (see .claude/skills/verify/SKILL.md).
+
+    python -m yolo_tpu.tools.profile_pipeline [--batch 64] [--iters 30]
+        [--trace DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, args, iters: int, probe) -> float:
+    """ms per iteration; ``probe(result) -> scalar array`` for the
+    readback barrier."""
+    r = fn(*args)
+    float(probe(r))              # compile + warmup barrier
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    float(probe(r))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--size", type=int, default=448)
+    p.add_argument("--trace", default=None,
+                   help="write a jax.profiler trace of the full pipeline")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.decode import (cls2ang, decode_car, decode_car_pallas,
+                                 decode_lp, decode_lp_pallas, decode_ocr,
+                                 make_angle_offsets)
+    from yolo_tpu.ops.batched_geometry import (project_corners_batched,
+                                               unwarp_plates_batched,
+                                               unwarp_plates_matmul)
+    from yolo_tpu.pipeline import JointPipeline
+    from yolo_tpu.train import make_task
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    B, S = args.batch, args.size
+    iters = args.iters
+
+    spec = builtin_spec("carlp_v1").replace(size=[S, S])
+    ocr_spec = builtin_spec("ocr_v1")
+    joint_task = make_task("carlp", spec, dtype=dtype)
+    ocr_task = make_task("ocr", ocr_spec, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    jv = joint_task.init_variables(key)
+    ov = ocr_task.init_variables(key)
+    frames = jax.random.uniform(key, (B, S, S, 3), jnp.float32)
+
+    rows = {}
+
+    # ---- stage 1: joint network forward ----
+    fwd = jax.jit(lambda f: joint_task.apply_eval(jv, f))
+    rows["joint_forward"] = timeit(
+        fwd, (frames,), iters,
+        lambda r: r[1].astype(jnp.float32)[0, 0, 0, 0])
+
+    # ---- stage 2: + decode (both impls) ----
+    from yolo_tpu.ops.boxes import make_grid_tables
+    grids = make_grid_tables(spec.size, spec.steps, spec.all_anchors)
+    cos_off, sin_off = make_angle_offsets(spec.classes)
+
+    def with_decode(dc, dl):
+        def f(fr):
+            car_out, lp_map = joint_task.apply_eval(jv, fr)
+            car_out = [o.astype(jnp.float32) for o in car_out]
+            car = dc(car_out, grids, spec.slice_point, spec.size)
+            azi, _ = cls2ang(car[:, 0], car[:, 6:], cos_off, sin_off)
+            car = car.at[:, 5].set(azi)
+            lp = dl(lp_map.astype(jnp.float32), spec.LP_r_max)
+            return car, lp
+        return jax.jit(f)
+
+    rows["fwd+decode_xla"] = timeit(
+        with_decode(decode_car, decode_lp), (frames,), iters,
+        lambda r: r[0][0, 0])
+    rows["fwd+decode_pallas"] = timeit(
+        with_decode(decode_car_pallas, decode_lp_pallas), (frames,), iters,
+        lambda r: r[0][0, 0])
+
+    # ---- stage 3: unwarp impls in isolation ----
+    poses = jnp.tile(jnp.asarray([[0., 0., 2500., .2, .3, .1]]), (B, 1))
+    corners = project_corners_batched(
+        poses, JointPipeline(joint_task, ocr_task).projector.camera, (S, S))
+    img16 = frames.astype(dtype)
+    for name, impl, hw in (
+            ("unwarp_gather_64x160", "gather", (64, 160)),
+            ("unwarp_gather_80x192", "gather", (80, 192)),
+            ("unwarp_matmul_64x160", "matmul", (64, 160))):
+        if impl == "gather":
+            f = jax.jit(lambda im, c, hw=hw: unwarp_plates_batched(
+                im, c, (160, 384), sample_hw=hw))
+        else:
+            f = jax.jit(lambda im, c, hw=hw: unwarp_plates_matmul(
+                im, c, hw))
+        rows[name] = timeit(f, (img16, corners), iters,
+                            lambda r: r.astype(jnp.float32)[0, 0, 0, 0])
+
+    # ---- stage 4: OCR forward on crops ----
+    crops = jax.random.uniform(key, (B, 160, 384, 3), jnp.float32)
+    ocr_fwd = jax.jit(lambda c: ocr_task.apply_eval(ov, c))
+    rows["ocr_forward"] = timeit(
+        ocr_fwd, (crops,), iters,
+        lambda r: r[0].astype(jnp.float32)[0, 0, 0, 0])
+
+    # ---- full pipelines ----
+    for name, kw in (
+            ("full_pipeline_default", dict(unwarp_sample_hw=(64, 160))),
+            ("full_pipeline_pallas_decode",
+             dict(unwarp_sample_hw=(64, 160), decode_impl="pallas"))):
+        pipe = JointPipeline(joint_task, ocr_task, **kw)
+        f = pipe.jit()
+        rows[name] = timeit(f, (jv, ov, frames), iters,
+                            lambda r: r.car[0, 0])
+
+    if args.trace:
+        pipe = JointPipeline(joint_task, ocr_task,
+                             unwarp_sample_hw=(64, 160))
+        f = pipe.jit()
+        r = f(jv, ov, frames)
+        float(r.car[0, 0])
+        with jax.profiler.trace(args.trace):
+            for _ in range(5):
+                r = f(jv, ov, frames)
+            float(r.car[0, 0])
+
+    print(f"\n| stage | ms/iter (B={B}, {S}x{S}, {backend}) | fps |")
+    print("|---|---|---|")
+    for k, v in rows.items():
+        print(f"| {k} | {v:.2f} | {B / v * 1e3:.0f} |")
+    line = {"backend": backend, "batch": B, "size": S, "ms": rows}
+    print(json.dumps(line))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(line, f, indent=2)
+    return rows
+
+
+if __name__ == "__main__":
+    main()
