@@ -103,3 +103,17 @@ def test_pjrt_roundtrip_small_model():
     from yolo_tpu.tools.pjrt_roundtrip import main
     result = main(["--plugin", os.environ["YOLO_TPU_PJRT_PLUGIN"]])
     assert result["ok"], result
+
+
+def test_pjrt_node_builds_and_prints_usage():
+    import subprocess
+    from yolo_tpu.serve.native import _NATIVE_DIR
+    binary = os.path.join(_NATIVE_DIR, "pjrt_node")
+    if not os.path.exists(binary):
+        r = subprocess.run(["make", "-C", _NATIVE_DIR, "pjrt_node"],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("pjrt_node build unavailable")
+    r = subprocess.run([binary], capture_output=True)
+    assert r.returncode == 2
+    assert b"usage:" in r.stderr
