@@ -63,3 +63,34 @@ def test_decode_lp_pallas_matches_xla():
     ref = np.asarray(decode_lp(lp_map, r_max))
     got = np.asarray(decode_lp_pallas(lp_map, r_max))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_fused_conv3x3_bn_leaky_matches_xla():
+    from yolo_tpu.pallas.conv_kernel import (conv3x3_bn_leaky_xla,
+                                             fused_conv3x3_bn_leaky)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 24, 32), jnp.float32)
+    w = jax.random.normal(key, (3, 3, 32, 64), jnp.float32) * 0.05
+    scale = jnp.linspace(0.5, 1.5, 64)
+    bias = jnp.linspace(-1.0, 1.0, 64)
+    ref = conv3x3_bn_leaky_xla(x, w, scale, bias)
+    got = fused_conv3x3_bn_leaky(x, w, scale, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)
+
+
+def test_fused_conv_negative_slope_and_tiling():
+    from yolo_tpu.pallas.conv_kernel import (conv3x3_bn_leaky_xla,
+                                             fused_conv3x3_bn_leaky)
+    key = jax.random.PRNGKey(3)
+    # H=12 forces tile_h=12; Cout=96 forces tile_cout=96
+    x = jax.random.normal(key, (1, 12, 20, 16), jnp.float32)
+    w = jax.random.normal(key, (3, 3, 16, 96), jnp.float32) * 0.1
+    scale = jnp.ones((96,))
+    bias = jnp.zeros((96,))
+    ref = conv3x3_bn_leaky_xla(x, w, scale, bias, alpha=0.25)
+    got = fused_conv3x3_bn_leaky(x, w, scale, bias, alpha=0.25,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4)
+    assert float(jnp.min(got)) < 0   # leaky, not relu
