@@ -243,3 +243,44 @@ def test_matmul_warp_jits():
     out = f(imgs, corners)
     assert out.shape == (2, 32, 80, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decode_car_topk_nms():
+    """Multi-detection decode: row 0 reproduces the argmax decode; kept
+    rows are mutually non-overlapping beyond the NMS threshold."""
+    import os
+    import jax.numpy as jnp
+    from yolo_tpu.decode import decode_car, decode_car_topk
+    from yolo_tpu.ops.boxes import iou_pairwise, make_grid_tables
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                             "parity.npz"))
+    size = (320, 512)
+    anchors = [
+        [[0.2216, 0.1552], [0.2144, 0.2408], [0.2825, 0.3456]],
+        [[0.3959, 0.2706], [0.3703, 0.4351], [0.5708, 0.4278]],
+        [[0.4345, 0.6063], [0.5584, 0.7174], [0.7448, 0.6772]]]
+    grids = make_grid_tables(size, [int(s) for s in g["car_steps"]],
+                             anchors)
+    outs = [jnp.asarray(g[f"car_out{i}"]) for i in range(3)]
+    sp = [1, 3, 5, 6, 30]
+
+    k = 8
+    thresh = 0.45
+    top = np.asarray(decode_car_topk(outs, grids, sp, size, k=k,
+                                     iou_thresh=thresh))
+    assert top.shape == (1, k, 30)
+
+    best = np.asarray(decode_car(outs, grids, sp, size))[0]
+    # row 0 is the global argmax: same score, same box (ltrb vs yxhw)
+    np.testing.assert_allclose(top[0, 0, 0], best[0], atol=1e-6)
+    l, t, r, b = top[0, 0, 1:5]
+    np.testing.assert_allclose(
+        [(t + b) / 2, (l + r) / 2, b - t, r - l], best[1:5], atol=1e-5)
+
+    kept = top[0][top[0, :, 0] > 0]
+    for i in range(len(kept)):
+        for j in range(i + 1, len(kept)):
+            iou = float(iou_pairwise(jnp.asarray(kept[i, 1:5]),
+                                     jnp.asarray(kept[j, 1:5])))
+            assert iou <= thresh + 1e-6, (i, j, iou)

@@ -156,6 +156,19 @@ def nms_topk(score, ltrb, rest, k: int = 16, iou_thresh: float = 0.45):
     return jax.vmap(per_image)(top_s, flat_b, flat_r, idx)
 
 
+def decode_car_topk(outputs, grids: GridTables, slice_point: Sequence[int],
+                    size: Sequence[int], k: int = 16,
+                    iou_thresh: float = 0.45):
+    """Multi-detection decode: all-cell decode -> greedy NMS over the
+    top-k cells. Returns (B, k, 1+4+rest) rows [score, l, t, r, b, ...]
+    with suppressed rows' score zeroed — the multi-object extension the
+    reference's argmax-only predict lacked (car/YOLO.py:584 takes one box
+    per image). Used by serving paths that want every vehicle in frame.
+    """
+    score, ltrb, rest = decode_car_all(outputs, grids, slice_point, size)
+    return nms_topk(score, ltrb, rest, k=k, iou_thresh=iou_thresh)
+
+
 # --------------------------------------------------------------------------
 # licence plate pose
 # --------------------------------------------------------------------------

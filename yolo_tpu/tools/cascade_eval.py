@@ -48,6 +48,13 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--with-lpd", action="store_true",
                    help="also report standalone LPD pose metrics")
+    p.add_argument("--sample-hw", default=None,
+                   help="unwarp sampling resolution 'HxW' (pipeline "
+                        "default when unset)")
+    p.add_argument("--warp-impl", default="gather",
+                   choices=["gather", "matmul"])
+    p.add_argument("--decode-impl", default="xla",
+                   choices=["xla", "pallas"])
     p.add_argument("--out", default=None, help="write metrics JSON here")
     args = p.parse_args(argv)
 
@@ -56,8 +63,13 @@ def main(argv=None):
     lp_vars, lp_step = load_variables(lp_task, args.lp)
     ocr_vars, _ = load_variables(ocr_task, args.ocr)
 
+    pipe_kw = {"warp_impl": args.warp_impl, "decode_impl": args.decode_impl}
+    if args.sample_hw:
+        h, w = args.sample_hw.lower().split("x")
+        pipe_kw["unwarp_sample_hw"] = (int(h), int(w))
     m = eval_cascade(lp_task, lp_vars, ocr_task, ocr_vars,
-                     batches=args.batches, batch=args.batch)
+                     batches=args.batches, batch=args.batch, **pipe_kw)
+    m.update({k: str(v) for k, v in pipe_kw.items()})
     if args.with_lpd:
         m.update(eval_lpd(lp_task, lp_vars, batches=args.batches,
                           batch=args.batch,

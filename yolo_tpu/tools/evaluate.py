@@ -123,7 +123,8 @@ def eval_lpd(task, variables, batches: int = 10, batch: int = 32,
 
 def eval_cascade(lp_task, lp_variables, ocr_task, ocr_variables,
                  batches: int = 8, batch: int = 32, seed: int = 99,
-                 r_max=(45.0, 60.0, 45.0)) -> Dict[str, float]:
+                 r_max=(45.0, 60.0, 45.0), **pipeline_kw
+                 ) -> Dict[str, float]:
     """END-TO-END ALPR accuracy: scenes -> LPD pose -> unwarp with the
     PREDICTED pose -> OCR -> plate string, compared to the rendered truth.
 
@@ -134,7 +135,7 @@ def eval_cascade(lp_task, lp_variables, ocr_task, ocr_variables,
 
     h, w = lp_task.spec.size
     renderer = LPRenderer(h, w)
-    pipe = ALPRPipeline(lp_task, ocr_task)
+    pipe = ALPRPipeline(lp_task, ocr_task, **pipeline_kw)
     key = jax.random.PRNGKey(seed)
 
     # `add` draws plate text internally; render with explicit chars so the

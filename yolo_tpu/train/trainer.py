@@ -109,7 +109,8 @@ class Trainer:
             ka, kb, kc = jax.random.split(k2, 3)
             imgs_a, lab_a = self.lp_renderer.render(k1, bg)
             imgs_b, lab_b = self.lp_renderer.render_cascade(
-                ka, bg, tuple(self.spec.get("LP_r_max", (45., 60., 45.))))
+                ka, bg, tuple(self.spec.get("LP_r_max", (45., 60., 45.))),
+                pose_noise=self.spec.get("cascade_pose_noise", 1.0))
             pick = (jax.random.uniform(kb, (bg.shape[0],)) < rate)
             imgs = jnp.where(pick[:, None, None, None], imgs_b, imgs_a)
             labels = jnp.where(pick[:, None, None], lab_b, lab_a)
