@@ -13,6 +13,10 @@ timeout 1200 python -m yolo_tpu.tools.profile_pipeline \
 timeout 1200 python -m yolo_tpu.tools.bench_conv_kernel \
     --out reports/bench_conv_kernel.json
 
+# 2b. fully native serving node end-to-end (ring -> PJRT executable)
+timeout 900 python -m yolo_tpu.tools.pjrt_node_demo \
+    --out reports/pjrt_node_demo.json
+
 # 3. LPD leg-2 + cascade eval (current OCR weights)
 timeout 900 python -m yolo_tpu.tools.cascade_eval \
     --lp runs/lp_v2/backup --ocr trained/ocr_v1_cascade \
