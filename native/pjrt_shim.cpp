@@ -94,6 +94,61 @@ std::string default_compile_options() {
   return out;
 }
 
+// Parse PJRT_CREATE_OPTIONS ("key=i:123;key=s:text;key=b:1") into
+// NamedValues — some plugins (e.g. the axon TPU transport) require
+// session/topology options at client creation.
+struct CreateOptions {
+  std::vector<std::string> keys;    // stable storage for name pointers
+  std::vector<std::string> strs;
+  std::vector<PJRT_NamedValue> values;
+};
+
+void parse_create_options(CreateOptions* out) {
+  const char* env = getenv("PJRT_CREATE_OPTIONS");
+  if (!env || !*env) return;
+  std::string s(env);
+  size_t pos = 0;
+  // two passes not needed if storage is reserved up front
+  size_t n_items = 1;
+  for (char c : s) n_items += (c == ';');
+  out->keys.reserve(n_items);
+  out->strs.reserve(n_items);
+  while (pos < s.size()) {
+    size_t end = s.find(';', pos);
+    if (end == std::string::npos) end = s.size();
+    std::string item = s.substr(pos, end - pos);
+    pos = end + 1;
+    size_t eq = item.find('=');
+    if (eq == std::string::npos || eq + 2 >= item.size() ||
+        item[eq + 2] != ':')
+      continue;
+    out->keys.push_back(item.substr(0, eq));
+    char kind = item[eq + 1];
+    std::string val = item.substr(eq + 3);
+
+    PJRT_NamedValue nv;
+    memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = out->keys.back().c_str();
+    nv.name_size = out->keys.back().size();
+    if (kind == 'i') {
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = atoll(val.c_str());
+      nv.value_size = 1;
+    } else if (kind == 'b') {
+      nv.type = PJRT_NamedValue_kBool;
+      nv.bool_value = val == "1" || val == "true";
+      nv.value_size = 1;
+    } else {  // 's'
+      out->strs.push_back(val);
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = out->strs.back().c_str();
+      nv.value_size = out->strs.back().size();
+    }
+    out->values.push_back(nv);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -127,9 +182,13 @@ void* ps_create(const char* plugin_path) {
     return nullptr;
   }
 
+  CreateOptions opts;
+  parse_create_options(&opts);
   PJRT_Client_Create_Args cc;
   memset(&cc, 0, sizeof(cc));
   cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cc.create_options = opts.values.empty() ? nullptr : opts.values.data();
+  cc.num_options = opts.values.size();
   if (!check(s, s->api->PJRT_Client_Create(&cc), "client_create")) {
     fprintf(stderr, "pjrt_shim: %s\n", s->last_error.c_str());
     delete s;

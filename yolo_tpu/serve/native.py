@@ -161,6 +161,23 @@ def load_pjrt_library(build: bool = True) -> Optional[ctypes.CDLL]:
     return lib
 
 
+def axon_create_options_env(plugin_path: str = "") -> str:
+    """PJRT_CREATE_OPTIONS string for the axon TPU plugin (the transport
+    this image reaches its chip through). Mirrors the option dict the
+    Python-side registration builds (axon/register/pjrt.py
+    _register_backend): pool mode with a fresh session id, remote
+    compile on. Harmless for plugins that ignore unknown options."""
+    if "axon" not in os.path.basename(plugin_path or ""):
+        return ""
+    import uuid
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    rc = 1 if os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "1") == "1" \
+        else 0
+    return (f"remote_compile=i:{rc};local_only=i:0;priority=i:0;"
+            f"topology=s:{gen}:1x1x1;n_slices=i:1;"
+            f"session_id=s:{uuid.uuid4()};rank=i:4294967295")
+
+
 class PjrtEngine:
     """Native StableHLO executor over the PJRT C API (native/pjrt_shim.cpp).
 
@@ -176,6 +193,10 @@ class PjrtEngine:
         self.lib = load_pjrt_library()
         if self.lib is None:
             raise RuntimeError("native pjrt_shim library unavailable")
+        if "PJRT_CREATE_OPTIONS" not in os.environ:
+            opts = axon_create_options_env(plugin_path)
+            if opts:
+                os.environ["PJRT_CREATE_OPTIONS"] = opts
         self._ptr = ctypes.c_void_p(self.lib.ps_create(plugin_path.encode()))
         if not self._ptr:
             raise RuntimeError(f"PJRT client creation failed for "

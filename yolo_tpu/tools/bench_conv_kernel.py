@@ -62,13 +62,15 @@ def main(argv=None):
         scale = jnp.linspace(0.5, 1.5, Cout)
         bias = jnp.linspace(-1.0, 1.0, Cout)
 
-        f_x = jax.jit(lambda a: conv3x3_bn_leaky_xla(a, w, scale, bias))
-        f_p = jax.jit(lambda a: fused_conv3x3_bn_leaky(a, w, scale, bias))
-        ref = jnp.asarray(f_x(x), jnp.float32)
-        got = jnp.asarray(f_p(x), jnp.float32)
+        # weights as jit args (closure constants inflate the serialized
+        # module past the remote-compile transport limit)
+        f_x = jax.jit(conv3x3_bn_leaky_xla)
+        f_p = jax.jit(fused_conv3x3_bn_leaky)
+        ref = jnp.asarray(f_x(x, w, scale, bias), jnp.float32)
+        got = jnp.asarray(f_p(x, w, scale, bias), jnp.float32)
         err = float(jnp.max(jnp.abs(ref - got)))
-        ms_x = timeit(f_x, (x,), args.iters)
-        ms_p = timeit(f_p, (x,), args.iters)
+        ms_x = timeit(f_x, (x, w, scale, bias), args.iters)
+        ms_p = timeit(f_p, (x, w, scale, bias), args.iters)
         rows.append({"shape": [H, W, Cin, Cout], "xla_ms": ms_x,
                      "pallas_ms": ms_p, "max_abs_err": err})
         print(f"| {H}x{W}x{Cin}->{Cout} | {ms_x:.3f} | {ms_p:.3f} | "

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_tpu.serve.export import export_stablehlo
-from yolo_tpu.serve.native import _NATIVE_DIR
+from yolo_tpu.serve.native import _NATIVE_DIR, axon_create_options_env
 
 
 def main(argv=None):
@@ -62,10 +62,13 @@ def main(argv=None):
         with open(raw, "wb") as f:
             f.write(frames_u8.tobytes())
 
+        env = dict(os.environ)
+        env.setdefault("PJRT_CREATE_OPTIONS",
+                       axon_create_options_env(args.plugin))
         r = subprocess.run(
             [binary, args.plugin, module, str(fh), str(fw), str(nh),
              str(nw), str(B), raw],
-            capture_output=True, text=True, timeout=560)
+            capture_output=True, text=True, timeout=560, env=env)
         print(r.stdout)
         if r.returncode != 0:
             print(r.stderr)

@@ -72,10 +72,14 @@ def main(argv=None):
 
     rows = {}
 
+    # NOTE: variables are always jit ARGUMENTS, never closure constants —
+    # constant-folded weights blow up the serialized module past the
+    # remote-compile transport limit (HTTP 413) and disable donation.
+
     # ---- stage 1: joint network forward ----
-    fwd = jax.jit(lambda f: joint_task.apply_eval(jv, f))
+    fwd = jax.jit(lambda v, f: joint_task.apply_eval(v, f))
     rows["joint_forward"] = timeit(
-        fwd, (frames,), iters,
+        fwd, (jv, frames), iters,
         lambda r: r[1].astype(jnp.float32)[0, 0, 0, 0])
 
     # ---- stage 2: + decode (both impls) ----
@@ -84,8 +88,8 @@ def main(argv=None):
     cos_off, sin_off = make_angle_offsets(spec.classes)
 
     def with_decode(dc, dl):
-        def f(fr):
-            car_out, lp_map = joint_task.apply_eval(jv, fr)
+        def f(v, fr):
+            car_out, lp_map = joint_task.apply_eval(v, fr)
             car_out = [o.astype(jnp.float32) for o in car_out]
             car = dc(car_out, grids, spec.slice_point, spec.size)
             azi, _ = cls2ang(car[:, 0], car[:, 6:], cos_off, sin_off)
@@ -95,11 +99,11 @@ def main(argv=None):
         return jax.jit(f)
 
     rows["fwd+decode_xla"] = timeit(
-        with_decode(decode_car, decode_lp), (frames,), iters,
+        with_decode(decode_car, decode_lp), (jv, frames), iters,
         lambda r: r[0][0, 0])
     rows["fwd+decode_pallas"] = timeit(
-        with_decode(decode_car_pallas, decode_lp_pallas), (frames,), iters,
-        lambda r: r[0][0, 0])
+        with_decode(decode_car_pallas, decode_lp_pallas), (jv, frames),
+        iters, lambda r: r[0][0, 0])
 
     # ---- stage 3: unwarp impls in isolation ----
     poses = jnp.tile(jnp.asarray([[0., 0., 2500., .2, .3, .1]]), (B, 1))
@@ -121,9 +125,9 @@ def main(argv=None):
 
     # ---- stage 4: OCR forward on crops ----
     crops = jax.random.uniform(key, (B, 160, 384, 3), jnp.float32)
-    ocr_fwd = jax.jit(lambda c: ocr_task.apply_eval(ov, c))
+    ocr_fwd = jax.jit(lambda v, c: ocr_task.apply_eval(v, c))
     rows["ocr_forward"] = timeit(
-        ocr_fwd, (crops,), iters,
+        ocr_fwd, (ov, crops), iters,
         lambda r: r[0].astype(jnp.float32)[0, 0, 0, 0])
 
     # ---- full pipelines ----
