@@ -120,9 +120,9 @@ def main():
         if _os.path.isdir(ocr_dir):
             ov = try_restore(ov, ocr_dir)
             break
-    # (64, 160) unwarp sampling: batch-64 sweep optimum; plates span fewer
-    # source px than this, so the dense upsample to 160x384 is lossless
-    pipe = JointPipeline(joint_task, ocr_task, unwarp_sample_hw=(64, 160))
+    # pipeline defaults: (64, 160) unwarp sampling is both the batch-64
+    # sweep optimum and accuracy-neutral (reports/eval_unwarp_*.json)
+    pipe = JointPipeline(joint_task, ocr_task)
     fn = pipe.jit()
 
     frames = jax.random.uniform(key, (batch, 416, 416, 3), jnp.float32)

@@ -117,3 +117,16 @@ def test_pjrt_node_builds_and_prints_usage():
     r = subprocess.run([binary], capture_output=True)
     assert r.returncode == 2
     assert b"usage:" in r.stderr
+
+
+def test_axon_create_options_env_shape():
+    from yolo_tpu.serve.native import axon_create_options_env
+    s = axon_create_options_env("/opt/axon/libaxon_pjrt.so")
+    assert "topology=s:" in s and "session_id=s:" in s
+    assert "remote_compile=i:" in s
+    # every item parses as key=<kind>:<value>
+    for item in s.split(";"):
+        key, rest = item.split("=", 1)
+        assert rest[0] in "isb" and rest[1] == ":"
+    # non-axon plugins get no options
+    assert axon_create_options_env("/usr/lib/libtpu.so") == ""
