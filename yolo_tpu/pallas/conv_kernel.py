@@ -8,16 +8,17 @@ a hand-written Pallas schedule beats XLA's conv on the shapes this
 framework actually runs (tools/bench_conv_kernel.py). It is also the
 template for deeper fusions (residual-add epilogues) if they win.
 
-Schedule: grid over (batch, row-tiles, cout-tiles). Each program DMAs a
-(tile_h + 2, W + 2, Cin) input slab (SAME-padded on host) from HBM into
-VMEM, computes the 3x3 convolution as 9 shifted (tile_h*W, Cin) @
-(Cin, tcout) MXU matmuls accumulated in an f32 VMEM scratch, applies
-scale * y + bias followed by LeakyReLU in the epilogue, and writes the
-(tile_h, W, tcout) output block. Weight/scale blocks are revisited
-per row-tile, so Mosaic's pipeline keeps them resident.
+Schedule: grid over (batch, cout-tiles). Each program receives one
+image's full SAME-padded feature map as a pipelined VMEM block (whole
+last-two dims — keeps every slice tile-legal for Mosaic), computes the
+3x3 convolution as 9 shifted (H*W, Cin) @ (Cin, tcout) MXU matmuls
+accumulated in an f32 VMEM scratch, applies scale * y + bias and
+LeakyReLU in the epilogue, and writes the (H, W, tcout) output block.
+At the flagship shapes (448-input stages: 112^2x32..7^2x1024) every
+block fits the ~16 MB VMEM budget.
 
-Constraints: stride 1, SAME padding, H % tile_h == 0,
-Cout % tile_cout == 0 (the wrapper picks conforming tiles).
+Constraints: stride 1, SAME padding, Cout % tile_cout == 0 (the wrapper
+picks a conforming tile).
 """
 from __future__ import annotations
 
@@ -36,35 +37,23 @@ def _pick_tile(n: int, cap: int) -> int:
     return t
 
 
-def _kernel(xp_ref, w_ref, sb_ref, out_ref, slab, acc, sem, *,
-            tile_h: int, width: int, cin: int, alpha: float):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-
-    dma = pltpu.make_async_copy(
-        xp_ref.at[b, pl.ds(t * tile_h, tile_h + 2)], slab, sem)
-    dma.start()
-    dma.wait()
-
+def _kernel(xp_ref, w_ref, sb_ref, out_ref, acc, *,
+            height: int, width: int, cin: int, alpha: float):
     tcout = out_ref.shape[3]
-    acc[:] = jnp.zeros((tile_h * width, tcout), jnp.float32)
+    acc[:] = jnp.zeros((height * width, tcout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = slab[dy:dy + tile_h, dx:dx + width, :]
+            xs = xp_ref[0, dy:dy + height, dx:dx + width, :]
             acc[:] += jnp.dot(
-                xs.reshape(tile_h * width, cin), w_ref[dy, dx],
+                xs.reshape(height * width, cin), w_ref[dy, dx],
                 preferred_element_type=jnp.float32)
 
     y = acc[:] * sb_ref[0] + sb_ref[1]
     y = jnp.where(y > 0, y, alpha * y)                    # LeakyReLU
-    out_ref[0] = y.reshape(tile_h, width, tcout).astype(out_ref.dtype)
+    out_ref[0] = y.reshape(height, width, tcout).astype(out_ref.dtype)
 
 
 def fused_conv3x3_bn_leaky(x, w, scale, bias, alpha: float = 0.1,
-                           tile_h: Optional[int] = None,
                            tile_cout: Optional[int] = None,
                            interpret=None):
     """y = leaky_relu(conv3x3_same(x, w) * scale + bias, alpha).
@@ -80,33 +69,30 @@ def fused_conv3x3_bn_leaky(x, w, scale, bias, alpha: float = 0.1,
         interpret = jax.default_backend() != "tpu"
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
-    tile_h = tile_h or _pick_tile(H, 16)
     tile_cout = tile_cout or _pick_tile(Cout, 256)
-    assert H % tile_h == 0 and Cout % tile_cout == 0
+    assert Cout % tile_cout == 0
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     sb = jnp.stack([jnp.asarray(scale, jnp.float32),
                     jnp.asarray(bias, jnp.float32)])
 
-    kern = functools.partial(_kernel, tile_h=tile_h, width=W, cin=Cin,
+    kern = functools.partial(_kernel, height=H, width=W, cin=Cin,
                              alpha=alpha)
-    grid = (B, H // tile_h, Cout // tile_cout)
+    grid = (B, Cout // tile_cout)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # xp stays in HBM
+            pl.BlockSpec((1, H + 2, W + 2, Cin), lambda b, c: (b, 0, 0, 0)),
             pl.BlockSpec((3, 3, Cin, tile_cout),
-                         lambda b, t, c: (0, 0, 0, c)),
-            pl.BlockSpec((2, tile_cout), lambda b, t, c: (0, c)),
+                         lambda b, c: (0, 0, 0, c)),
+            pl.BlockSpec((2, tile_cout), lambda b, c: (0, c)),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, W, tile_cout),
-                               lambda b, t, c: (b, t, 0, c)),
+        out_specs=pl.BlockSpec((1, H, W, tile_cout),
+                               lambda b, c: (b, 0, 0, c)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, W + 2, Cin), x.dtype),
-            pltpu.VMEM((tile_h * W, tile_cout), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((H * W, tile_cout), jnp.float32),
         ],
         interpret=interpret,
     )(xp, w.astype(x.dtype), sb)

@@ -25,6 +25,13 @@ from yolo_tpu.serve.native import _NATIVE_DIR, axon_create_options_env
 
 
 def main(argv=None):
+    # pin THIS process to CPU: if the demo's own jax touched the TPU it
+    # would hold the device claim and the C++ child would deadlock
+    # waiting for it. Export cross-lowers for TPU from the CPU process.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
     p = argparse.ArgumentParser()
     p.add_argument("--plugin", default=os.environ.get(
         "YOLO_TPU_PJRT_PLUGIN", "/opt/axon/libaxon_pjrt.so"))
@@ -57,7 +64,8 @@ def main(argv=None):
     with tempfile.TemporaryDirectory() as td:
         module = os.path.join(td, "module.mlir")
         export_stablehlo(
-            fn, (jnp.zeros((B, nh, nw, 3), jnp.float32),), module)
+            fn, (jnp.zeros((B, nh, nw, 3), jnp.float32),), module,
+            platforms=["tpu"])
         raw = os.path.join(td, "frames.raw")
         with open(raw, "wb") as f:
             f.write(frames_u8.tobytes())
