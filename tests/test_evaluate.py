@@ -2,6 +2,7 @@
 sane ranges; trained accuracy is checked on real TPU runs)."""
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from yolo_tpu.config import builtin_spec
 from yolo_tpu.tools.evaluate import eval_car, eval_lpd, eval_ocr
@@ -56,3 +57,23 @@ def test_eval_cascade_untrained():
     assert 0.0 <= m["cascade_exact_match"] <= 1.0
     assert 0.0 <= m["cascade_corner_iou"] <= 1.0
     assert m["samples"] == 2
+
+
+def test_eval_joint_tiny():
+    """Joint eval must produce finite car + LP metrics on a tiny net."""
+    import jax
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.render import procedural_car_assets
+    from yolo_tpu.tools.evaluate import eval_joint
+    from yolo_tpu.train import make_task
+
+    spec = builtin_spec("carlp_v1").replace(
+        size=[64, 64], layers=[1, 1, 1, 1, 1, 1],
+        channels=[4, 8, 8, 16, 16, 32, 32])
+    task = make_task("carlp", spec)
+    v = task.init_variables(jax.random.PRNGKey(0))
+    m = eval_joint(task, v, batches=1, batch=4,
+                   car_assets=procedural_car_assets(num_azi=4, num_ele=1))
+    for k in ("car_mean_iou", "car_azimuth_mae_deg", "lp_corner_iou",
+              "lp_z_mae_mm"):
+        assert np.isfinite(m[k]), m

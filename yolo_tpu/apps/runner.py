@@ -144,6 +144,10 @@ def run_eval(kind: str, spec: Spec, args, batches: int = 8):
     elif kind == "lp":
         m = ev.eval_lpd(trainer.task, variables, batches=batches,
                         r_max=tuple(spec.LP_r_max))
+    elif kind == "carlp":
+        m = ev.eval_joint(trainer.task, variables, batches=batches,
+                          car_assets=trainer.car_renderer.pool
+                          if trainer.car_renderer else None)
     else:
         m = ev.eval_car(trainer.task, variables, batches=batches,
                         car_assets=trainer.car_renderer.pool

@@ -188,6 +188,76 @@ def eval_cascade(lp_task, lp_variables, ocr_task, ocr_variables,
             "samples": total}
 
 
+def eval_joint(task, variables, batches: int = 8, batch: int = 24,
+               seed: int = 1234, car_assets=None) -> Dict[str, float]:
+    """Joint (CarLPNet) accuracy on composed car+plate scenes: car box
+    IoU + azimuth error from the pyramid heads AND plate pose metrics
+    from the LP branch — the dual-task validation the reference's joint
+    valid mode eyeballed (car_and_LP/YOLO.py:339-384)."""
+    spec = task.spec
+    h, w = spec.size
+    car_r = CarRenderer(h, w, spec.classes, pool=car_assets)
+    lp_r = LPRenderer(h, w)
+    grids = make_grid_tables(spec.size, spec.steps, spec.all_anchors)
+    cls = np.asarray(spec.classes, np.float32)
+    proj = PlateProjector()
+    r_max = tuple(spec.LP_r_max)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def run(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        bg = procedural_backgrounds(k1, batch, h, w)
+        imgs, car_labels = car_r.render(k2, bg, render_rate=1.0)
+        imgs, lp_labels = lp_r.add(k3, imgs, r_max, add_rate=1.0)
+        car_out, lp_map = task.apply_eval(variables, imgs)
+        pred = decode_car([o.astype(jnp.float32) for o in car_out],
+                          grids, spec.slice_point, spec.size)
+        lp = decode_lp(lp_map.astype(jnp.float32), list(r_max))
+        pred_ltrb = yxhw_to_ltrb(pred[:, 1:5])
+        ious = jax.vmap(iou_ltrb)(pred_ltrb, car_labels[:, 0, 1:5])
+        return car_labels, lp_labels, pred, lp, ious
+
+    all_iou, azi_err, lp_ious, z_errs = [], [], [], []
+    for b in range(batches):
+        key, k = jax.random.split(key)
+        car_labels, lp_labels, pred, lp, ious = run(k)
+        car_labels = np.asarray(car_labels)
+        lp_labels = np.asarray(lp_labels)
+        pred = np.asarray(pred)
+        lp = np.asarray(lp)
+        all_iou.extend(np.asarray(ious).reshape(-1).tolist())
+        for i in range(batch):
+            true_cls = int(car_labels[i, 0, 0])
+            if true_cls >= 0:
+                logits = pred[i, 6:]
+                e = np.exp(logits - logits.max())
+                prob = e / e.sum()
+                azi_bins = np.radians(cls[:, 0])
+                c = float(np.sum(np.cos(azi_bins) * prob))
+                s = float(np.sum(np.sin(azi_bins) * prob))
+                err = math.degrees(math.atan2(s, c)) - cls[true_cls, 0]
+                azi_err.append(abs((err + 180) % 360 - 180))
+            if lp_labels[i, 0, 0] > 0:
+                tc = np.asarray(proj.corners_in_image(
+                    jnp.asarray(lp_labels[i, 0, 1:7]), (h, w)))
+                pc = np.asarray(proj.corners_in_image(
+                    jnp.asarray(lp[i, 1:7]), (h, w)))
+                tb, pb = _corner_bbox(tc), _corner_bbox(pc)
+                iw = max(min(tb[2], pb[2]) - max(tb[0], pb[0]), 0)
+                ih = max(min(tb[3], pb[3]) - max(tb[1], pb[1]), 0)
+                inter = iw * ih
+                a1 = (tb[2] - tb[0]) * (tb[3] - tb[1])
+                a2 = (pb[2] - pb[0]) * (pb[3] - pb[1])
+                lp_ious.append(inter / max(a1 + a2 - inter, 1e-9))
+                z_errs.append(abs(lp[i, 3] - lp_labels[i, 0, 3]))
+    return {"car_mean_iou": float(np.mean(all_iou)),
+            "car_azimuth_mae_deg": float(np.mean(azi_err)),
+            "lp_corner_iou": float(np.mean(lp_ious)),
+            "lp_z_mae_mm": float(np.mean(z_errs)),
+            "samples": len(all_iou)}
+
+
 def eval_car(task, variables, batches: int = 10, batch: int = 32,
              seed: int = 1234, car_assets=None) -> Dict[str, float]:
     """Render car scenes, decode, report mean box IoU + azimuth error."""
