@@ -41,9 +41,13 @@ def _kernel(xp_ref, w_ref, sb_ref, out_ref, acc, *,
             height: int, width: int, cin: int, alpha: float):
     tcout = out_ref.shape[3]
     acc[:] = jnp.zeros((height * width, tcout), jnp.float32)
+    # one full VMEM load, then VALUE-level shifted slices (register ops —
+    # memref slices would have to respect the (8, 128) tiling)
+    slab = xp_ref[0]                                  # (H+2, W+2, Cin)
     for dy in range(3):
+        rows = jax.lax.slice_in_dim(slab, dy, dy + height, axis=0)
         for dx in range(3):
-            xs = xp_ref[0, dy:dy + height, dx:dx + width, :]
+            xs = jax.lax.slice_in_dim(rows, dx, dx + width, axis=1)
             acc[:] += jnp.dot(
                 xs.reshape(height * width, cin), w_ref[dy, dx],
                 preferred_element_type=jnp.float32)
