@@ -8,11 +8,15 @@ mkdir -p reports trained
 # 1. joint car+LP training leg (watchdogged)
 python scripts/watchdog_train.py --metrics runs/carlp_v1/logs/metrics.jsonl \
     --stale 420 --grace 1200 -- \
-    python -m yolo_tpu.apps.car_and_lp runs/carlp_v1 train --steps 9000 --bf16 1
+    python -m yolo_tpu.apps.car_and_lp runs/carlp_v1 train --steps 7500 --bf16 1
+
+# 1b. rerun the regression-arm A/B eval (timed out in session 2)
+timeout 900 python -m yolo_tpu.apps.ocr runs/ocr_ab_reg eval \
+    2>/tmp/ab_reg_eval.err | tail -1 > reports/ocr_ab_regression.json
 
 # 2. kernel/profile reruns (fixed tools)
-timeout 1500 python -m yolo_tpu.tools.profile_pipeline \
-    --out reports/profile_pipeline.json
+timeout 1800 python -m yolo_tpu.tools.profile_pipeline \
+    --out reports/profile_pipeline.json --trace /tmp/pipeline_trace
 timeout 1500 python -m yolo_tpu.tools.bench_conv_kernel \
     --out reports/bench_conv_kernel.json
 timeout 900 python -m yolo_tpu.tools.pjrt_node_demo \
