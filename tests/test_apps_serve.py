@@ -208,3 +208,21 @@ def test_time_fn_barriers():
     stats = time_fn(f, jnp.ones((64, 64)), iters=3, warmup=1)
     assert stats["ms_per_iter"] > 0
     assert stats["single_call_ms"] > 0
+
+
+def test_make_ocr_infer_decodes():
+    """The standalone OCR service node's jitted infer fn returns scores +
+    peak classes for a crop batch (OcrRosNode itself needs rospy)."""
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.serve.ros_bridge import make_ocr_infer
+    from yolo_tpu.train import make_task
+
+    spec = builtin_spec("ocr_v1").replace(
+        num_init_features=8, growth_rate=4, block_config=[2, 2, 2, 2])
+    task = make_task("ocr", spec)
+    v = task.init_variables(jax.random.PRNGKey(0))
+    fn = make_ocr_infer(task, v)
+    crops = jnp.zeros((1, 160, 384, 3), jnp.float32)
+    scores, peaks = fn(crops)
+    assert scores.shape[0] == 1 and peaks.shape == scores.shape
+    assert peaks.dtype == jnp.int32

@@ -73,3 +73,63 @@ class RosPublisher:
                 self._ocr.publish(self._String(text))
         frame = (np.clip(frames[0], 0, 1) * 255).astype(np.uint8)
         self._img.publish(self.bridge.cv2_to_imgmsg(frame, "rgb8"))
+
+class OcrRosNode:
+    """Standalone OCR service node: subscribes the unwarped plate image
+    topic, runs the jitted OCR decode, answers plate text — the interop
+    twin of the reference's OCR video mode (OCR/OCR.py:240-252), for
+    third-party detectors that publish ``/YOLO/clipped_LP`` themselves.
+    (The fused pipelines never need this hop.)
+
+    ``infer_fn(crop_batch) -> (scores, peak_cls)`` over a
+    (1, 160, 384, 3) float32 batch; build it with
+    ``make_ocr_infer(task, variables)``.
+    """
+
+    def __init__(self, infer_fn, spec, node_name: str = "OCR_ros_node",
+                 valid_only: bool = True):
+        import rospy
+        from cv_bridge import CvBridge
+        from sensor_msgs.msg import Image
+        from std_msgs.msg import String
+
+        self.infer_fn = infer_fn
+        self.valid_only = valid_only
+        self.bridge = CvBridge()
+        rospy.init_node(node_name, anonymous=True)
+        self._pub = rospy.Publisher(
+            spec.get("pub_OCR", "/YOLO/OCR"), String, queue_size=0)
+        self._String = String
+        rospy.Subscriber(spec.get("sub_clipped_LP", "/YOLO/clipped_LP"),
+                         Image, self._cb, queue_size=1, buff_size=2 ** 22)
+        self._rospy = rospy
+
+    def _cb(self, msg):
+        import cv2
+        from yolo_tpu.decode import is_valid_taiwan_plate, peaks_to_text
+        img = self.bridge.imgmsg_to_cv2(msg, "rgb8")
+        if img.shape[:2] != (160, 384):
+            img = cv2.resize(img, (384, 160))
+        batch = (np.asarray(img, np.float32) / 255.0)[None]
+        _scores, peaks = self.infer_fn(batch)
+        text = peaks_to_text(np.asarray(peaks[0]))
+        if text and (not self.valid_only or is_valid_taiwan_plate(text)):
+            self._pub.publish(self._String(text))
+
+    def spin(self):
+        self._rospy.spin()
+
+
+def make_ocr_infer(ocr_task, variables):
+    """Jitted (1, 160, 384, 3) -> (scores, peak_cls) for OcrRosNode."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.decode import decode_ocr
+
+    def fn(crops):
+        score_x, class_x = ocr_task.apply_eval(variables, crops)
+        o = decode_ocr(score_x.astype(jnp.float32),
+                       class_x.astype(jnp.float32))
+        return o.scores, o.peak_cls
+    return jax.jit(fn)
