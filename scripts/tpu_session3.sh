@@ -8,7 +8,7 @@ mkdir -p reports trained
 # 1. joint car+LP training leg (watchdogged)
 python scripts/watchdog_train.py --metrics runs/carlp_v1/logs/metrics.jsonl \
     --stale 420 --grace 1200 -- \
-    python -m yolo_tpu.apps.car_and_lp runs/carlp_v1 train --steps 7500 --bf16 1
+    python -m yolo_tpu.apps.car_and_lp runs/carlp_v1 train --until-step 7500 --bf16 1
 
 # 1b. rerun the regression-arm A/B eval (timed out in session 2)
 timeout 900 python -m yolo_tpu.apps.ocr runs/ocr_ab_reg eval \

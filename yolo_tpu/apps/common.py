@@ -28,7 +28,11 @@ def make_parser(prog: str, modes: List[str]) -> argparse.ArgumentParser:
     p.add_argument("--record", type=int, default=1,
                    help="write metrics/checkpoints")
     p.add_argument("--steps", type=int, default=0,
-                   help="training steps (0 = run until interrupted)")
+                   help="training steps to run from here (0 = until "
+                        "interrupted)")
+    p.add_argument("--until-step", dest="until_step", type=int, default=0,
+                   help="train up to this TOTAL step count (restart-safe: "
+                        "resuming runs only the remainder)")
     p.add_argument("--batch", type=int, default=0,
                    help="override spec batch size")
     p.add_argument("--bf16", type=int, default=0,

@@ -60,7 +60,15 @@ def build_trainer(kind: str, spec: Spec, args) -> Trainer:
 
 def run_train(kind: str, spec: Spec, args):
     trainer = build_trainer(kind, spec, args)
-    steps = args.steps or 10 ** 9
+    if getattr(args, "until_step", 0):
+        # restart-safe target: run only the remainder (the watchdog
+        # relaunches the identical command after a transport stall)
+        steps = max(0, args.until_step - int(trainer.state.step))
+        if steps == 0:
+            log(f"already at step {int(trainer.state.step)}", "green")
+            return
+    else:
+        steps = args.steps or 10 ** 9
     valid_fn = trainer.valid_iou if kind in ("car", "car_dense", "carlp") \
         else None
     log(f"training {kind} for {steps} steps "
