@@ -27,8 +27,8 @@ def _kernel(in_ref, row_ref, idx_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     big = jnp.int32(s.shape[0])
     idx = jnp.min(jnp.where(s >= m, rows, big))
-    idx_ref[0, 0, 0] = idx
-    row_ref[0, 0, :] = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=0)[0]
+    idx_ref[0, 0] = idx                             # SMEM scalar store
+    row_ref[0] = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=0)
 
 
 def best_cell_decode(merged, interpret=None):
@@ -43,20 +43,23 @@ def best_cell_decode(merged, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, R, C = merged.shape
-    # outputs are 3-D so the last two block dims equal the array dims —
-    # Mosaic requires block shapes tile-legal OR full (a (1, C) block of
-    # a (B, C) array is neither when B > 1)
+    from jax.experimental.pallas import tpu as pltpu
+
+    # row output is 3-D so its last two block dims equal the array dims
+    # (Mosaic requires block shapes tile-legal OR full); the scalar index
+    # lives in SMEM — scalar stores to VMEM are rejected on hardware
     rows, idx = pl.pallas_call(
         _kernel,
         grid=(B,),
         in_specs=[pl.BlockSpec((1, R, C), lambda b: (b, 0, 0))],
         out_specs=(pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
-                   pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0))),
+                   pl.BlockSpec((1, 1), lambda b: (b, 0),
+                                memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((B, 1, C), merged.dtype),
-                   jax.ShapeDtypeStruct((B, 1, 1), jnp.int32)),
+                   jax.ShapeDtypeStruct((B, 1), jnp.int32)),
         interpret=interpret,
     )(merged)
-    return rows[:, 0], idx[:, 0, 0]
+    return rows[:, 0], idx[:, 0]
 
 
 def best_cell_decode_xla(merged):
