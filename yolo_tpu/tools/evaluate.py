@@ -31,7 +31,7 @@ def eval_ocr(task, variables, batches: int = 10, batch: int = 64,
     key = jax.random.PRNGKey(seed)
 
     @jax.jit
-    def run(key):
+    def run(variables, key):
         k1, k2 = jax.random.split(key)
         bg = procedural_backgrounds(k1, batch, h, w)
         imgs, labels = renderer.render(k2, bg)
@@ -46,7 +46,7 @@ def eval_ocr(task, variables, batches: int = 10, batch: int = 64,
     total = 0
     for b in range(batches):
         key, k = jax.random.split(key)
-        labels, peaks = run(k)
+        labels, peaks = run(variables, k)
         labels = np.asarray(labels)
         peaks = np.asarray(peaks)
         for i in range(batch):
@@ -83,7 +83,7 @@ def eval_lpd(task, variables, batches: int = 10, batch: int = 32,
     key = jax.random.PRNGKey(seed)
 
     @jax.jit
-    def run(key):
+    def run(variables, key):
         k1, k2 = jax.random.split(key)
         bg = procedural_backgrounds(k1, batch, h, w)
         imgs, labels = renderer.add(k2, bg, tuple(r_max), add_rate=1.0)
@@ -94,7 +94,7 @@ def eval_lpd(task, variables, batches: int = 10, batch: int = 32,
     ious, z_errs, ang_errs, scores = [], [], [], []
     for b in range(batches):
         key, k = jax.random.split(key)
-        labels, lp = run(k)
+        labels, lp = run(variables, k)
         labels = np.asarray(labels)
         lp = np.asarray(lp)
         for i in range(batch):
@@ -141,7 +141,7 @@ def eval_cascade(lp_task, lp_variables, ocr_task, ocr_variables,
     # `add` draws plate text internally; render with explicit chars so the
     # ground-truth string is known.
     @jax.jit
-    def run_known(key):
+    def run_known(lp_variables, ocr_variables, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         bg = procedural_backgrounds(k1, batch, h, w)
         chars = renderer.sample_chars(k2, batch)
@@ -161,7 +161,7 @@ def eval_cascade(lp_task, lp_variables, ocr_task, ocr_variables,
     proj = PlateProjector()
     for b in range(batches):
         key, k = jax.random.split(key)
-        chars, poses, res = run_known(k)
+        chars, poses, res = run_known(lp_variables, ocr_variables, k)
         chars = np.asarray(chars)
         poses = np.asarray(poses)
         for i in range(batch):
@@ -205,7 +205,7 @@ def eval_joint(task, variables, batches: int = 8, batch: int = 24,
     key = jax.random.PRNGKey(seed)
 
     @jax.jit
-    def run(key):
+    def run(variables, key):
         k1, k2, k3 = jax.random.split(key, 3)
         bg = procedural_backgrounds(k1, batch, h, w)
         imgs, car_labels = car_r.render(k2, bg, render_rate=1.0)
@@ -221,7 +221,7 @@ def eval_joint(task, variables, batches: int = 8, batch: int = 24,
     all_iou, azi_err, lp_ious, z_errs = [], [], [], []
     for b in range(batches):
         key, k = jax.random.split(key)
-        car_labels, lp_labels, pred, lp, ious = run(k)
+        car_labels, lp_labels, pred, lp, ious = run(variables, k)
         car_labels = np.asarray(car_labels)
         lp_labels = np.asarray(lp_labels)
         pred = np.asarray(pred)
@@ -269,7 +269,7 @@ def eval_car(task, variables, batches: int = 10, batch: int = 32,
     key = jax.random.PRNGKey(seed)
 
     @jax.jit
-    def run(key):
+    def run(variables, key):
         k1, k2 = jax.random.split(key)
         bg = procedural_backgrounds(k1, batch, h, w)
         imgs, labels = renderer.render(k2, bg, render_rate=1.0)
@@ -284,7 +284,7 @@ def eval_car(task, variables, batches: int = 10, batch: int = 32,
     all_iou, azi_err = [], []
     for b in range(batches):
         key, k = jax.random.split(key)
-        labels, pred, ious = run(k)
+        labels, pred, ious = run(variables, k)
         labels = np.asarray(labels)
         pred = np.asarray(pred)
         all_iou.extend(np.asarray(ious).reshape(-1).tolist())
