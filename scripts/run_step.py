@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Fail-loud queue step runner.
+
+Round-2 post-mortem: queued TPU evals crashed, their stderr went to
+/dev/null, and `| tail -1 > report.json` committed zero-byte artifacts
+nobody noticed. This runner makes that impossible:
+
+* the child's stdout+stderr always land in reports/logs/<name>.log;
+* a non-zero exit writes NO artifact and exits non-zero itself;
+* with --last-line the artifact is the last stdout line, which must
+  parse as JSON (anything else = step failure);
+* with --check the artifact must exist, be non-empty and parse as JSON
+  after the command ran (for tools that write their own --out file);
+* --allow-fail marks steps whose failure shouldn't abort a queue; the
+  failure is still logged loudly and no artifact is produced.
+
+Usage:
+  python scripts/run_step.py --name car_eval --timeout 900 \
+      --artifact reports/eval_car_final.json --last-line -- \
+      python -m yolo_tpu.apps.car trained/car_v1 eval
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", required=True)
+    p.add_argument("--artifact", default=None)
+    p.add_argument("--last-line", action="store_true",
+                   help="artifact = last stdout line (validated JSON)")
+    p.add_argument("--check", action="store_true",
+                   help="command writes the artifact itself; verify it")
+    p.add_argument("--timeout", type=float, default=1800.0)
+    p.add_argument("--allow-fail", action="store_true")
+    p.add_argument("cmd", nargs=argparse.REMAINDER)
+    args = p.parse_args()
+    cmd = args.cmd
+    if cmd and cmd[0] == "--":
+        cmd = cmd[1:]
+    if not cmd:
+        print(f"[run_step:{args.name}] ERROR: empty command", file=sys.stderr)
+        return 2
+
+    os.makedirs("reports/logs", exist_ok=True)
+    log_path = f"reports/logs/{args.name}.log"
+    t0 = time.time()
+    print(f"[run_step:{args.name}] RUN {' '.join(cmd)}", flush=True)
+    out_lines: list[str] = []
+    rc: int
+    with open(log_path, "w") as log:
+        log.write(f"# cmd: {' '.join(cmd)}\n# start: {time.ctime()}\n")
+        log.flush()
+        try:
+            proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                    stderr=subprocess.STDOUT, text=True)
+            deadline = t0 + args.timeout
+            assert proc.stdout is not None
+            for line in proc.stdout:
+                log.write(line)
+                log.flush()
+                out_lines.append(line.rstrip("\n"))
+                if time.time() > deadline:
+                    proc.kill()
+                    break
+            rc = proc.wait(timeout=max(deadline - time.time(), 30))
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            rc = -9
+        except Exception as e:  # noqa: BLE001 — a runner must not crash
+            log.write(f"\n# runner exception: {e!r}\n")
+            rc = -1
+        dt = time.time() - t0
+        log.write(f"# rc: {rc}  elapsed: {dt:.1f}s\n")
+
+    if rc != 0:
+        tail = "\n".join(out_lines[-15:])
+        print(f"[run_step:{args.name}] FAILED rc={rc} after {dt:.1f}s — "
+              f"NO artifact written. Log tail:\n{tail}", flush=True)
+        return 0 if args.allow_fail else 1
+
+    if args.artifact and args.last_line:
+        last_json = None
+        for line in reversed(out_lines):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    last_json = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        if last_json is None:
+            print(f"[run_step:{args.name}] FAILED: no JSON line in stdout — "
+                  f"NO artifact written (see {log_path})", flush=True)
+            return 0 if args.allow_fail else 1
+        tmp = args.artifact + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(last_json, f)
+            f.write("\n")
+        os.replace(tmp, args.artifact)
+    elif args.artifact and args.check:
+        ok = False
+        try:
+            with open(args.artifact) as f:
+                json.load(f)
+            ok = os.path.getsize(args.artifact) > 0
+        except Exception:
+            ok = False
+        if not ok:
+            print(f"[run_step:{args.name}] FAILED: artifact "
+                  f"{args.artifact} missing/empty/invalid", flush=True)
+            return 0 if args.allow_fail else 1
+
+    print(f"[run_step:{args.name}] OK ({dt:.1f}s)"
+          + (f" -> {args.artifact}" if args.artifact else ""), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
