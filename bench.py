@@ -105,21 +105,31 @@ def main():
 
     # run with the packaged trained weights when present (identical program
     # and speed; makes the benchmark the real deployable artifact)
-    def try_restore(variables, path):
+    weight_provenance = {"joint": "random-init", "ocr": "random-init"}
+
+    def try_restore(variables, path, slot):
         try:
             from yolo_tpu.train.checkpoint import restore_tree
             tree = restore_tree(path)
+            weight_provenance[slot] = path
             return {"params": tree["params"],
                     "batch_stats": tree.get("batch_stats", {})}
-        except Exception:
+        except Exception as e:
+            # loudly record which weights the bench actually ran — a
+            # silent fall-through to random weights misrepresents the
+            # benchmark as the deployable artifact (round-2 weak #3)
+            print(f"# bench: restore FAILED for {path}: {e!r}",
+                  file=sys.stderr)
+            weight_provenance[slot] = f"random-init (restore failed: {path})"
             return variables
     import os as _os
     if _os.path.isdir("trained/carlp_v1"):
-        jv = try_restore(jv, "trained/carlp_v1")
+        jv = try_restore(jv, "trained/carlp_v1", "joint")
     for ocr_dir in ("trained/ocr_v2", "trained/ocr_v1_cascade"):
         if _os.path.isdir(ocr_dir):
-            ov = try_restore(ov, ocr_dir)
+            ov = try_restore(ov, ocr_dir, "ocr")
             break
+    print(f"# bench weights: {weight_provenance}", file=sys.stderr)
     # pipeline defaults: (64, 160) unwarp sampling is both the batch-64
     # sweep optimum and accuracy-neutral (reports/eval_unwarp_*.json)
     pipe = JointPipeline(joint_task, ocr_task)

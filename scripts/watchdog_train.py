@@ -23,7 +23,15 @@ import time
 
 
 def mtime(path: str) -> float:
+    """mtime of a NON-EMPTY metrics file (0 otherwise).
+
+    MetricWriter creates the jsonl at Trainer init, long before the
+    first jitted step finishes compiling; an existence-based check
+    would flip the watchdog from the compile grace window to the short
+    stale limit and kill every launch mid-compile."""
     try:
+        if os.path.getsize(path) == 0:
+            return 0.0
         return os.path.getmtime(path)
     except OSError:
         return 0.0

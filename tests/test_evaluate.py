@@ -42,6 +42,21 @@ def test_eval_car_untrained():
     assert 0.0 <= m["car_azimuth_mae_deg"] <= 180.0
 
 
+def test_eval_car_multi_untrained():
+    """Multi-object eval harness runs end-to-end (2-car scenes, top-k
+    NMS decode, greedy matching) and reports sane ranges."""
+    from yolo_tpu.tools.evaluate import eval_car_multi
+    spec = builtin_spec("car_v1").replace(
+        size=[64, 64], layers=[1, 1, 1, 1, 1, 1],
+        channels=[4, 8, 8, 16, 16, 32, 32])
+    task = make_task("car", spec)
+    v = task.init_variables(jax.random.PRNGKey(0))
+    m = eval_car_multi(task, v, batches=1, batch=4, num_obj=2, k=4)
+    assert m["gt_objects"] == 8
+    assert 0.0 <= m["multi_recall"] <= 1.0
+    assert m["samples"] == 4
+
+
 def test_eval_cascade_untrained():
     from yolo_tpu.tools.evaluate import eval_cascade
     lp_spec = builtin_spec("lp_v2").replace(

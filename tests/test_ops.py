@@ -245,6 +245,66 @@ def test_matmul_warp_jits():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_multi_object_assign_decode_roundtrip():
+    """Two planted objects -> assigner encodings -> synthetic head map ->
+    decode_car_topk recovers BOTH boxes and classes (the multi-object
+    path end-to-end at the ops level)."""
+    import jax.numpy as jnp
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.decode import decode_car_topk
+    from yolo_tpu.ops.boxes import make_grid_tables
+    from yolo_tpu.targets import CarTargetAssigner
+
+    spec = builtin_spec("car_v1")
+    assigner = CarTargetAssigner(spec)
+    C = spec.num_class
+
+    def soft(idx):
+        d = np.full((C,), 1e-4, np.float32)
+        d[idx] = 1.0
+        return d / d.sum()
+
+    labels = np.zeros((1, 2, 6 + C), np.float32)
+    labels[0, 0, :6] = [3, 0.3, 0.25, 0.25, 0.2, 0.0]
+    labels[0, 0, 6:] = soft(3)
+    labels[0, 1, :6] = [17, 0.7, 0.75, 0.3, 0.25, 0.0]
+    labels[0, 1, 6:] = soft(17)
+    t = assigner(jnp.asarray(labels))
+    assert float(t.mask.sum()) == 2.0
+
+    merged = np.full((1, assigner.total_cells, assigner.n_anchors, 30),
+                     -8.0, np.float32)
+    m = np.asarray(t.mask)[0, :, :, 0] > 0
+    merged[0, :, :, 1:3] = np.asarray(t.box_yx)[0]
+    merged[0, :, :, 3:5] = np.asarray(t.box_hw)[0]
+    merged[0, :, :, 5] = np.asarray(t.rotate)[0, :, :, 0]
+    merged[0, :, :, 6:] = np.log(np.asarray(t.cls)[0] + 1e-9)
+    merged[0, ~m, 0] = -8.0
+    merged[0, m, 0] = 8.0
+
+    grids = make_grid_tables(spec.size, spec.steps, spec.all_anchors)
+    top = np.asarray(decode_car_topk(jnp.asarray(merged), grids,
+                                     spec.slice_point, spec.size, k=8))
+    kept = top[0][top[0, :, 0] > 0.9]
+    assert len(kept) == 2, f"expected both objects, got {len(kept)}"
+    for gt in labels[0]:
+        gy, gx, gh, gw = gt[1:5]
+        gl, gr, gtp, gb = gx - gw / 2, gx + gw / 2, gy - gh / 2, gy + gh / 2
+        best = 0.0
+        best_cls = -1
+        for p in kept:
+            l, tp, r, b = p[1:5]
+            iw = max(min(r, gr) - max(l, gl), 0)
+            ih = max(min(b, gb) - max(tp, gtp), 0)
+            inter = iw * ih
+            iou = inter / max((r - l) * (b - tp) +
+                              (gr - gl) * (gb - gtp) - inter, 1e-9)
+            if iou > best:
+                best, best_cls = iou, int(p[6:].argmax())
+        assert best > 0.85, f"object {gt[0]} not recovered (IoU {best})"
+        assert best_cls == int(gt[0])
+
+
 def test_decode_car_topk_nms():
     """Multi-detection decode: row 0 reproduces the argmax decode; kept
     rows are mutually non-overlapping beyond the NMS threshold."""

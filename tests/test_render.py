@@ -132,6 +132,46 @@ def test_car_renderer():
     assert float(jnp.mean(jnp.abs(imgs - bg))) > 1e-3
 
 
+def test_car_renderer_multi_object():
+    """num_obj slots each carry an independent label; composed pixels
+    of a later slot occlude an earlier one (paste order = slot order)."""
+    assets = procedural_car_assets(num_azi=4, num_ele=1, variants=1)
+    classes = [[k * 15.0, 0.0] for k in range(24)]
+    r = CarRenderer(160, 256, classes, pool=assets)
+    bg = procedural_backgrounds(jax.random.PRNGKey(1), 6, 160, 256)
+    f = jax.jit(lambda k, b: r.render(k, b, render_rate=1.0, num_obj=3))
+    imgs, labels = f(jax.random.PRNGKey(2), bg)
+    assert labels.shape == (6, 3, 30)
+    lab = np.asarray(labels)
+    assert (lab[:, :, 0] >= 0).all()           # all slots filled
+    # distinct boxes per slot (same sprite pool, independent placement)
+    assert not np.allclose(lab[:, 0, 1:5], lab[:, 1, 1:5])
+    np.testing.assert_allclose(lab[:, :, 6:].sum(-1), 1.0, atol=1e-4)
+    # render_rate=0 leaves every slot empty and the image untouched
+    imgs0, labels0 = jax.jit(
+        lambda k, b: r.render(k, b, render_rate=0.0, num_obj=2))(
+            jax.random.PRNGKey(3), bg)
+    assert (np.asarray(labels0) == -1).all()
+    np.testing.assert_allclose(np.asarray(imgs0), np.asarray(bg),
+                               atol=1e-5)
+
+
+def test_car_sprites_azimuth_distinguishable():
+    """The 3D sprites must differ between azi and 180-azi (the round-2
+    flat sprites were identical there, which capped learnable azimuth
+    accuracy at ~45 deg MAE)."""
+    pool = procedural_car_assets(num_azi=8, num_ele=1, variants=1)
+    view = np.degrees(np.asarray(pool.view)[:, 1])
+    rgba = np.asarray(pool.rgba)
+    a45 = rgba[np.argmin(np.abs(view - 45.0))]
+    a135 = rgba[np.argmin(np.abs(view - 135.0))]
+    diff = np.abs(a45 - a135).mean()
+    assert diff > 0.01, f"mirror views visually identical (diff={diff})"
+    a0 = rgba[np.argmin(np.abs(view - 0.0))]
+    a180 = rgba[np.argmin(np.abs(view - 180.0))]
+    assert np.abs(a0 - a180).mean() > 0.005    # head vs tail lights
+
+
 def test_car_label_distribution_peak():
     from yolo_tpu.render.car import great_circle_label_dist
     classes = np.asarray([[k * 15.0, 0.0] for k in range(24)], np.float32)

@@ -145,6 +145,56 @@ def test_compose_and_pack(tmp_path):
     assert out.shape == (3, 64, 96, 3)
 
 
+def test_freiburg_valid_nima_fixture(tmp_path):
+    """Exercise the Freiburg `valid_Nima` parse/metric/report path on a
+    synthetic 2-car fixture in the dataset's file format
+    (annotations/<i>_annot.txt lines '<img>\\t<l u r d>\\t<azi>',
+    reference car/YOLO.py:684-838) — no real dataset needed."""
+    import jax
+    from types import SimpleNamespace
+    from PIL import Image
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.tools.freiburg import (run_valid_nima,
+                                         run_valid_nima_plot)
+
+    root = tmp_path / "freiburg"
+    (root / "annotations").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for car_i, frames in ((1, 2), (2, 2)):
+        lines = []
+        for f in range(frames):
+            name = f"car{car_i}_f{f}"
+            img = (rng.uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+            Image.fromarray(img).save(root / f"{name}.png")
+            lines.append(f"{name}.png\t100 80 400 300\t{90 + 30 * f}\n")
+        (root / "annotations" / f"{car_i}_annot.txt").write_text(
+            "".join(lines))
+
+    spec = builtin_spec("car_v1").replace(
+        size=[64, 64], layers=[1, 1, 1, 1, 1, 1],
+        channels=[4, 8, 8, 16, 16, 32, 32])
+    args = SimpleNamespace(version=str(tmp_path / "v_test"), weight=None,
+                           bf16=0, batch=0, record=0, backgrounds=None,
+                           car_assets=None, freiburg=str(root))
+    result_dir = run_valid_nima("car", spec, args)
+    assert result_dir is not None
+    outs = sorted(os.listdir(result_dir))
+    assert outs == ["1_annot", "2_annot"]
+    for annot in outs:
+        lines = (
+            open(os.path.join(result_dir, annot)).read().splitlines())
+        assert len(lines) == 2
+        cols = lines[0].split(" ")
+        assert cols[0].endswith(".png")
+        iou, azi_label = float(cols[1]), float(cols[2])
+        assert -1.0 <= iou <= 1.0      # untrained net: any overlap value
+        assert -180.0 <= azi_label <= 180.0
+
+    # summary/plot pass parses the records without error
+    res = run_valid_nima_plot(args, filter_index=())
+    assert res is not None
+
+
 def test_record_path(tmp_path):
     from yolo_tpu.tools.record_path import plot_path
     track = [(0, 0, ""), (1, 0, "AYM0231"), (2, 0, "AYM0231"), (3, 0, "X")]

@@ -65,6 +65,10 @@ def make_parser(prog: str, modes: List[str]) -> argparse.ArgumentParser:
                         "devices (ShardedVideoNode)")
     p.add_argument("--freiburg", default=None,
                    help="Freiburg static-cars dataset root (valid_nima)")
+    p.add_argument("--topk", type=int, default=0,
+                   help="car eval/video: decode up to K objects via "
+                        "top-k NMS instead of the single argmax box "
+                        "(eval additionally renders multi-car scenes)")
     return p
 
 

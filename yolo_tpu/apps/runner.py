@@ -147,11 +147,18 @@ def run_eval(kind: str, spec: Spec, args, batches: int = 8):
     trainer = build_trainer(kind, spec, args)
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
+    topk = int(getattr(args, "topk", 0) or 0)
     if kind == "ocr":
         m = ev.eval_ocr(trainer.task, variables, batches=batches)
     elif kind == "lp":
         m = ev.eval_lpd(trainer.task, variables, batches=batches,
                         r_max=tuple(spec.LP_r_max))
+    elif topk and kind in ("car", "car_dense", "carlp"):
+        m = ev.eval_car_multi(trainer.task, variables, batches=batches,
+                              k=topk,
+                              num_obj=max(spec.get("max_objects", 1), 2),
+                              car_assets=trainer.car_renderer.pool
+                              if trainer.car_renderer else None)
     elif kind == "carlp":
         m = ev.eval_joint(trainer.task, variables, batches=batches,
                           car_assets=trainer.car_renderer.pool
@@ -218,13 +225,17 @@ def run_video(kind: str, spec: Spec, args):
         raw_fn = lambda f: pipe(variables, ov, f)   # noqa: E731
         sinks.append(make_ocr_text_sink(print_valid_only=False))
     else:
-        from yolo_tpu.decode import decode_car
+        from yolo_tpu.decode import decode_car, decode_car_topk
         from yolo_tpu.ops.boxes import make_grid_tables
         grids = make_grid_tables(spec.size, spec.steps, spec.all_anchors)
         task = trainer.task
+        topk = int(getattr(args, "topk", 0) or 0)
 
         def raw_fn(f):
             out = task.apply_eval(variables, f)
+            if topk:    # every vehicle in frame, not just the argmax box
+                return decode_car_topk(out, grids, spec.slice_point,
+                                       spec.size, k=topk)
             return decode_car(out, grids, spec.slice_point, spec.size)
 
     if args.dev == "ros":

@@ -15,7 +15,10 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-_RGB2GRAY = jnp.asarray([0.299, 0.587, 0.114])
+# plain tuple, not a device array: a module-level jnp.asarray would
+# initialise the XLA backend at import time, which breaks
+# jax.distributed.initialize() (must run before any backend use)
+_RGB2GRAY = (0.299, 0.587, 0.114)
 
 
 def adjust_brightness(img, factor):
@@ -23,12 +26,14 @@ def adjust_brightness(img, factor):
 
 
 def adjust_contrast(img, factor):
-    mean = jnp.mean(img * _RGB2GRAY, axis=(-3, -2, -1), keepdims=True) * 3.0
+    w = jnp.asarray(_RGB2GRAY, img.dtype)
+    mean = jnp.mean(img * w, axis=(-3, -2, -1), keepdims=True) * 3.0
     return (img - mean) * factor + mean
 
 
 def adjust_saturation(img, factor):
-    gray = jnp.sum(img * _RGB2GRAY, axis=-1, keepdims=True)
+    gray = jnp.sum(img * jnp.asarray(_RGB2GRAY, img.dtype), axis=-1,
+                   keepdims=True)
     return (img - gray) * factor + gray
 
 

@@ -28,8 +28,14 @@ def initialize(coordinator_address: Optional[str] = None,
     point can call it unconditionally."""
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return False
+    if jax.distributed.is_initialized():
+        return True
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -83,51 +83,150 @@ class CarAssetPool(NamedTuple):
                                         np.asarray(view, np.float32))
 
 
-def procedural_car_assets(num_azi: int = 24, num_ele: int = 2,
-                          seed: int = 0) -> CarAssetPool:
-    """Fabricate car-like silhouettes across the viewing sphere.
+def _box_faces(x0, x1, y0, y1, z0, z1):
+    """Six (corners(4,3), outward normal) quads of an axis-aligned box."""
+    c = lambda x, y, z: np.asarray([x, y, z], np.float64)  # noqa: E731
+    return [
+        ([c(x1, y0, z0), c(x1, y1, z0), c(x1, y1, z1), c(x1, y0, z1)],
+         (1, 0, 0)),     # front (+x)
+        ([c(x0, y0, z0), c(x0, y1, z0), c(x0, y1, z1), c(x0, y0, z1)],
+         (-1, 0, 0)),    # rear
+        ([c(x0, y1, z0), c(x1, y1, z0), c(x1, y1, z1), c(x0, y1, z1)],
+         (0, 1, 0)),     # left
+        ([c(x0, y0, z0), c(x1, y0, z0), c(x1, y0, z1), c(x0, y0, z1)],
+         (0, -1, 0)),    # right
+        ([c(x0, y0, z1), c(x1, y0, z1), c(x1, y1, z1), c(x0, y1, z1)],
+         (0, 0, 1)),     # top
+        ([c(x0, y0, z0), c(x1, y0, z0), c(x1, y1, z0), c(x0, y1, z0)],
+         (0, 0, -1)),    # bottom
+    ]
 
-    Geometry responds to azimuth/elevation (side view wide, front/back
-    narrow; higher elevation squashes) so nets can actually learn the
-    orientation signal end-to-end in tests.
+
+def _car_quads(rng) -> list:
+    """A simple 3D car as colored quads in object space.
+
+    Object frame: +x = forward, +y = left, +z = up, units ~meters.
+    Distinct front (headlights, windshield) and rear (red taillights)
+    make every azimuth visually unambiguous — the cue real Blender
+    renders carry and the round-2 flat sprites lacked (their geometry
+    was identical for azi and 180-azi, which is exactly the measured
+    ~44 deg azimuth MAE of a front/back-confused predictor).
+    """
+    body = rng.uniform(0.25, 0.95, size=3)
+    glass = np.asarray([0.15, 0.2, 0.3]) * rng.uniform(0.7, 1.3)
+    dark = np.asarray([0.06, 0.06, 0.07])
+    red = np.asarray([0.75, 0.08, 0.08])
+    lamp = np.asarray([0.95, 0.92, 0.7])
+    L = rng.uniform(2.0, 2.4)        # half length
+    Wd = rng.uniform(0.8, 1.0)       # half width
+    bh = rng.uniform(0.65, 0.8)      # body height
+    ch = rng.uniform(0.5, 0.65)      # cabin height
+    cab_f = rng.uniform(0.3, 0.7)    # cabin front x
+    cab_r = rng.uniform(-1.8, -1.4)  # cabin rear x
+    quads = []   # (corners(4,3), normal(3,), rgb(3,))
+    for corners, n in _box_faces(-L, L, -Wd, Wd, 0.0, bh):
+        quads.append((corners, n, body))
+    for corners, n in _box_faces(cab_r, cab_f, -Wd * 0.85, Wd * 0.85,
+                                 bh, bh + ch):
+        col = glass if n[0] != 0 else (body * 0.85 if n[2] else glass)
+        quads.append((corners, n, col))
+    # wheels: four dark boxes under the body
+    wr = 0.32
+    for wx in (L * 0.62, -L * 0.62):
+        for wy in (Wd, -Wd):
+            for corners, n in _box_faces(wx - wr, wx + wr,
+                                         wy - 0.08, wy + 0.08,
+                                         -wr, wr):
+                quads.append((corners, n, dark))
+    # headlights (front face, bright) and taillights (rear face, red)
+    for wy in (Wd * 0.6, -Wd * 0.6):
+        for corners, n in _box_faces(L, L + 0.06, wy - 0.18, wy + 0.18,
+                                     bh * 0.55, bh * 0.85):
+            quads.append((corners, n, lamp))
+        for corners, n in _box_faces(-L - 0.06, -L, wy - 0.18, wy + 0.18,
+                                     bh * 0.55, bh * 0.85):
+            quads.append((corners, n, red))
+    return quads
+
+
+def _render_car_view(quads, azi: float, ele: float) -> np.ndarray:
+    """Orthographic painter's-algorithm raster of the quad car.
+
+    Camera sits at azimuth ``azi`` / elevation ``ele`` looking at the
+    origin; azi=0 faces the FRONT of the car (matches the reference's
+    Blender sprite convention, render_car.py:350-357).
+    """
+    cam = np.asarray([math.cos(azi) * math.cos(ele),
+                      math.sin(azi) * math.cos(ele),
+                      math.sin(ele)])
+    fwd = -cam
+    right = np.cross(fwd, [0.0, 0.0, 1.0])
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    light = np.asarray([0.5, 0.3, 0.8])
+    light /= np.linalg.norm(light)
+
+    im = np.zeros((ASSET_H, ASSET_W, 4), np.float32)
+    scale = ASSET_W / 5.6            # ~max car extent fills the tile
+    cx, cy = ASSET_W / 2.0, ASSET_H / 2.0 + 0.12 * ASSET_H
+    yy, xx = np.mgrid[0:ASSET_H, 0:ASSET_W]
+
+    vis = []
+    for corners, n, col in quads:
+        n = np.asarray(n, np.float64)
+        if np.dot(n, cam) <= 0.02:
+            continue                  # backface
+        P = np.stack(corners)          # (4, 3)
+        u = P @ right * scale + cx
+        v = -(P @ up) * scale + cy
+        depth = float(np.mean(P @ cam))
+        shade = 0.55 + 0.45 * max(0.0, float(np.dot(n, light)))
+        vis.append((depth, np.stack([u, v], -1), np.asarray(col) * shade))
+    vis.sort(key=lambda t: t[0])      # far -> near
+
+    for _, uv, col in vis:
+        # convex quad fill: same-side test against all 4 edges
+        area = 0.0
+        for i in range(4):
+            j = (i + 1) % 4
+            area += uv[i, 0] * uv[j, 1] - uv[j, 0] * uv[i, 1]
+        sgn = 1.0 if area > 0 else -1.0
+        inside = np.ones((ASSET_H, ASSET_W), bool)
+        for i in range(4):
+            j = (i + 1) % 4
+            ex, ey = uv[j, 0] - uv[i, 0], uv[j, 1] - uv[i, 1]
+            cross = ex * (yy - uv[i, 1]) - ey * (xx - uv[i, 0])
+            inside &= (sgn * cross) >= 0
+        im[inside, :3] = col
+        im[inside, 3] = 1.0
+    return im
+
+
+def procedural_car_assets(num_azi: int = 24, num_ele: int = 2,
+                          variants: int = 4, seed: int = 0
+                          ) -> CarAssetPool:
+    """Fabricate 3D-projected car sprites across the viewing sphere.
+
+    Stand-in for the reference's transparent Blender renders
+    (render_car.py:188-223): each sprite is a painter's-algorithm
+    orthographic projection of a randomized box-model car with distinct
+    front/rear/side appearance, so azimuth is visually decidable from a
+    single sprite. ``variants`` models are rendered per view; each
+    variant's azimuth grid is offset by a fraction of the bin width so
+    the pool covers the circle densely rather than only at bin centres.
     """
     rng = np.random.default_rng(seed)
     rgba, view = [], []
-    eles = [7.5] if num_ele == 1 else [7.5 + 15.0 * i for i in range(num_ele)]
-    for ele_deg in eles:
-        for k in range(num_azi):
-            azi_deg = 360.0 * k / num_azi
-            azi = math.radians(azi_deg)
-            ele = math.radians(ele_deg)
-            im = np.zeros((ASSET_H, ASSET_W, 4), np.float32)
-            # car length foreshortens with cos(azi); height with ele
-            length = 0.35 + 0.45 * abs(math.cos(azi))
-            height = (0.30 - 0.08 * math.sin(ele)) * (1 + 0.2 * abs(math.sin(azi)))
-            L = int(length * ASSET_W)
-            Hh = int(height * ASSET_H)
-            cx, cy = ASSET_W // 2, ASSET_H // 2 + Hh // 4
-            color = rng.uniform(0.2, 0.9, size=3)
-            x0, x1 = cx - L // 2, cx + L // 2
-            y0, y1 = cy - Hh // 2, cy + Hh // 2
-            im[y0:y1, x0:x1, :3] = color
-            im[y0:y1, x0:x1, 3] = 1.0
-            # cabin block shifted toward the rear (encodes azimuth sign)
-            shift = int(0.15 * L * math.sin(azi))
-            cab_w = max(L // 3, 8)
-            cx0 = np.clip(cx - cab_w // 2 + shift, 0, ASSET_W - cab_w)
-            cab_h = max(Hh // 2, 6)
-            im[y0 - cab_h:y0, cx0:cx0 + cab_w, :3] = color * 0.6
-            im[y0 - cab_h:y0, cx0:cx0 + cab_w, 3] = 1.0
-            # wheels (only visible from the side)
-            wheel_r = max(Hh // 4, 3)
-            if abs(math.cos(azi)) > 0.3:
-                for wx in (x0 + L // 5, x1 - L // 5):
-                    im[y1 - wheel_r:y1 + wheel_r,
-                       wx - wheel_r:wx + wheel_r, :3] = 0.05
-                    im[y1 - wheel_r:y1 + wheel_r,
-                       wx - wheel_r:wx + wheel_r, 3] = 1.0
-            rgba.append(im)
-            view.append([ele, azi])
+    eles = [7.5] if num_ele == 1 else [5.0 + 12.0 * i for i in range(num_ele)]
+    for v in range(variants):
+        quads = _car_quads(rng)
+        off = (v / max(variants, 1)) * (360.0 / num_azi)
+        for ele_deg in eles:
+            for k in range(num_azi):
+                azi = math.radians(360.0 * k / num_azi + off)
+                ele = math.radians(ele_deg)
+                rgba.append(_render_car_view(quads, azi, ele))
+                view.append([ele, azi])
     return CarAssetPool.from_arrays(np.stack(rgba),
                                     np.asarray(view, np.float32))
 
@@ -209,19 +308,9 @@ class CarRenderer:
             dist])
         return warped[..., :3], warped[..., 3:], label
 
-    def render(self, key, bg_batch, render_rate: float = 1.0,
-               pascal_rate: float = 0.0):
-        """(B, h, w, 3) backgrounds -> (images, labels (B, 1, 6+num_cls)).
-
-        With probability 1-render_rate an image stays empty and its label
-        row is -1 (reference render_car.py:52-138). ``pascal_rate`` picks
-        the second asset pool when present.
-        """
-        B = bg_batch.shape[0]
-        k_use, k_pick, k_items, k_jit = jax.random.split(key, 4)
-        use = jax.random.uniform(k_use, (B,)) < render_rate
-        item_keys = jax.random.split(k_items, B)
-
+    def _compose_layer(self, key, k_pick, B, pascal_rate):
+        """One object layer for the whole batch: (rgb, alpha, label)."""
+        item_keys = jax.random.split(key, B)
         rgb, alpha, label = jax.vmap(
             lambda k: self._compose_one(k, self.pool))(item_keys)
         if self.pascal_pool is not None and pascal_rate > 0:
@@ -232,10 +321,36 @@ class CarRenderer:
                 pick2.reshape((B,) + (1,) * (a.ndim - 1)), b, a)
             rgb, alpha, label = sel(rgb, rgb2), sel(alpha, alpha2), \
                 sel(label, label2)
+        return rgb, alpha, label
 
-        rgb = random_color_jitter(k_jit, rgb, brightness=0.3, contrast=0.5,
-                                  saturation=0.5, hue=0.3)
-        alpha = alpha * use[:, None, None, None]
-        img = jnp.clip(bg_batch * (1 - alpha) + rgb * alpha, 0.0, 1.0)
-        label = jnp.where(use[:, None], label, -jnp.ones_like(label))
-        return img, label[:, None, :]
+    def render(self, key, bg_batch, render_rate: float = 1.0,
+               pascal_rate: float = 0.0, num_obj: int = 1):
+        """(B, h, w, 3) backgrounds -> (images, labels (B, num_obj, 6+C)).
+
+        Each of ``num_obj`` slots is filled independently with
+        probability ``render_rate``; empty slots carry a -1 label row
+        (reference render_car.py:52-138 composes one car per image; its
+        offline Tools/gen_dataset.py pastes five — this renderer does
+        both). Layers composite in slot order, so a later slot occludes
+        an earlier one where they overlap; the target assigner's
+        winner-takes-slot rule (targets/car.py) matches that order.
+        ``pascal_rate`` picks the second asset pool when present.
+        """
+        B = bg_batch.shape[0]
+        k_use, k_obj, k_jit = jax.random.split(key, 3)
+        use = jax.random.uniform(k_use, (B, num_obj)) < render_rate
+
+        img = bg_batch
+        labels = []
+        for o in range(num_obj):
+            k_item, k_pick = jax.random.split(jax.random.fold_in(k_obj, o))
+            rgb, alpha, label = self._compose_layer(
+                k_item, k_pick, B, pascal_rate)
+            rgb = random_color_jitter(
+                jax.random.fold_in(k_jit, o), rgb, brightness=0.3,
+                contrast=0.5, saturation=0.5, hue=0.3)
+            a = alpha * use[:, o, None, None, None]
+            img = img * (1 - a) + rgb * a
+            labels.append(jnp.where(use[:, o, None], label,
+                                    -jnp.ones_like(label)))
+        return jnp.clip(img, 0.0, 1.0), jnp.stack(labels, axis=1)

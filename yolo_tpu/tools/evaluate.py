@@ -258,6 +258,96 @@ def eval_joint(task, variables, batches: int = 8, batch: int = 24,
             "samples": len(all_iou)}
 
 
+def eval_car_multi(task, variables, batches: int = 8, batch: int = 24,
+                   seed: int = 1234, num_obj: int = 3, k: int = 8,
+                   iou_match: float = 0.5, score_thresh: float = 0.5,
+                   car_assets=None) -> Dict[str, float]:
+    """Multi-object VOR accuracy: N-car scenes -> top-k NMS decode ->
+    greedy IoU matching. Reports detection recall@iou_match, mean
+    matched IoU, azimuth MAE over matches, and false positives/image.
+
+    The reference could render only one car per image and its predict
+    decoded one argmax box (car/YOLO.py:584); this exercises the
+    multi-object path (render num_obj slots + decode_car_topk).
+    """
+    from yolo_tpu.decode import decode_car_topk
+
+    spec = task.spec
+    h, w = spec.size
+    renderer = CarRenderer(h, w, spec.classes, pool=car_assets)
+    grids = make_grid_tables(spec.size, spec.steps, spec.all_anchors)
+    cls = np.asarray(spec.classes, np.float32)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def run(variables, key):
+        k1, k2 = jax.random.split(key)
+        bg = procedural_backgrounds(k1, batch, h, w)
+        imgs, labels = renderer.render(k2, bg, render_rate=1.0,
+                                       num_obj=num_obj)
+        out = task.apply_eval(variables, imgs)
+        if task.kind == "carlp":
+            out = out[0]
+        top = decode_car_topk([o.astype(jnp.float32) for o in out],
+                              grids, spec.slice_point, spec.size, k=k)
+        return labels, top
+
+    azi_bins = np.radians(cls[:, 0])
+    n_gt = n_matched = 0
+    fp = 0
+    matched_ious, azi_err = [], []
+    n_images = 0
+    for b in range(batches):
+        key, kk = jax.random.split(key)
+        labels, top = run(variables, kk)
+        labels = np.asarray(labels)
+        top = np.asarray(top)
+        for i in range(batch):
+            n_images += 1
+            gts = labels[i][labels[i, :, 0] >= 0]       # (G, 6+C)
+            preds = top[i][top[i, :, 0] >= score_thresh]  # (P, 30)
+            used = np.zeros(len(preds), bool)
+            n_gt += len(gts)
+            for gt in gts:
+                gy, gx, gh, gw = gt[1:5]
+                gl, gr = gx - gw / 2, gx + gw / 2
+                gt_, gb = gy - gh / 2, gy + gh / 2
+                best_j, best_iou = -1, 0.0
+                for j, p in enumerate(preds):
+                    if used[j]:
+                        continue
+                    l, t, r, bo = p[1:5]
+                    iw = max(min(r, gr) - max(l, gl), 0)
+                    ih = max(min(bo, gb) - max(t, gt_), 0)
+                    inter = iw * ih
+                    union = ((r - l) * (bo - t) +
+                             (gr - gl) * (gb - gt_) - inter)
+                    iou = inter / max(union, 1e-9)
+                    if iou > best_iou:
+                        best_iou, best_j = iou, j
+                if best_j >= 0 and best_iou >= iou_match:
+                    used[best_j] = True
+                    n_matched += 1
+                    matched_ious.append(best_iou)
+                    logits = preds[best_j, 6:]
+                    e = np.exp(logits - logits.max())
+                    p_ = e / e.sum()
+                    c = float(np.sum(np.cos(azi_bins) * p_))
+                    s = float(np.sum(np.sin(azi_bins) * p_))
+                    err = (math.degrees(math.atan2(s, c))
+                           - cls[int(gt[0]), 0])
+                    azi_err.append(abs((err + 180) % 360 - 180))
+            fp += int((~used).sum())
+    return {"multi_recall": n_matched / max(n_gt, 1),
+            "multi_matched_iou": float(np.mean(matched_ious))
+            if matched_ious else 0.0,
+            "multi_azimuth_mae_deg": float(np.mean(azi_err))
+            if azi_err else -1.0,
+            "multi_fp_per_image": fp / max(n_images, 1),
+            "num_obj": num_obj, "gt_objects": n_gt,
+            "samples": n_images}
+
+
 def eval_car(task, variables, batches: int = 10, batch: int = 32,
              seed: int = 1234, car_assets=None) -> Dict[str, float]:
     """Render car scenes, decode, report mean box IoU + azimuth error."""

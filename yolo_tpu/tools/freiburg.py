@@ -86,8 +86,8 @@ def run_valid_nima(kind: str, spec, args):
             vec_ang, vec_rad, _ = radar.cls2ang(
                 float(pred[0]), pred[-spec.num_class:])
 
-            left, up, right, down = np.fromstring(
-                parts[1], dtype="float32", sep=" ")
+            left, up, right, down = np.asarray(
+                parts[1].split(), dtype=np.float32)
             azi_label = int(parts[2]) - 90
             azi_label = azi_label - 360 if azi_label > 180 else azi_label
 

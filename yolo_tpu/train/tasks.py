@@ -113,6 +113,24 @@ class CarTask(_TaskBase):
         t = self.assigner(labels)
         sw = score_weight(t.mask, spec.positive_weight, spec.negative_weight)
         sc = spec.scale
+        n_obj = jnp.maximum(jnp.sum(t.mask), 1.0)
+        # per-object (mask-renormalized) class CE: the reference-style
+        # mean over ~10k mostly-unmasked cells reads ~1e-4 even when the
+        # head is at the uniform prior — this monitor makes the
+        # orientation head's actual progress visible (round-2 VERDICT
+        # weak #5: 44 deg azimuth MAE hid behind a 9e-5 "class" loss).
+        ce = -jnp.sum(t.cls * jax.nn.log_softmax(parts[4], -1), -1,
+                      keepdims=True)
+        class_per_obj = jnp.sum(ce * t.mask) / n_obj
+        # spec `class_renorm: s` replaces the per-cell-mean class term
+        # with s * per-object CE (all other losses keep reference
+        # semantics; 0/absent = the literal reference loss).
+        renorm = sc.get("class_renorm", 0.0)
+        if renorm:
+            class_term = class_per_obj * renorm
+        else:
+            class_term = _mean(softmax_ce_loss(parts[4], t.cls,
+                                               t.mask * sc["class"]))
         return {
             "score": _mean(logistic_loss(parts[0], t.score,
                                          sw * sc["score"])),
@@ -122,14 +140,15 @@ class CarTask(_TaskBase):
                                        t.mask * sc["box_hw"])),
             "rotate": _mean(huber_loss(parts[3], t.rotate,
                                        t.mask * sc["rotate"])),
-            "class": _mean(softmax_ce_loss(parts[4], t.cls,
-                                           t.mask * sc["class"])),
+            "class": class_term,
+            "_class_per_obj": class_per_obj,
         }
 
     def loss(self, params, batch_stats, images, labels):
         outputs, new_stats = self.apply_train(params, batch_stats, images)
         losses = self.car_losses(outputs, labels)
-        return sum(losses.values()), (losses, new_stats)
+        total = sum(v for k, v in losses.items() if not k.startswith("_"))
+        return total, (losses, new_stats)
 
 
 class OCRTask(_TaskBase):
@@ -200,7 +219,8 @@ class JointTask(_TaskBase):
             "LP_class": _mean(softmax_ce_loss(lp_out[..., 7:], t.cls,
                                               t.mask * sc["LP_class"])),
         })
-        return sum(losses.values()), (losses, new_stats)
+        total = sum(v for k, v in losses.items() if not k.startswith("_"))
+        return total, (losses, new_stats)
 
 
 def make_task(kind: str, spec: Spec, dtype=jnp.float32):

@@ -117,10 +117,12 @@ class Trainer:
             return imgs, labels
         if kind in ("car", "car_dense"):
             return self.car_renderer.render(
-                k1, bg, render_rate=0.5, pascal_rate=0.2)
+                k1, bg, render_rate=0.5, pascal_rate=0.2,
+                num_obj=self.spec.get("max_objects", 1))
         if kind == "carlp":
             imgs, car_labels = self.car_renderer.render(
-                k1, bg, render_rate=0.5, pascal_rate=0.2)
+                k1, bg, render_rate=0.5, pascal_rate=0.2,
+                num_obj=self.spec.get("max_objects", 1))
             imgs, lp_labels = self.lp_renderer.add(
                 k2, imgs, tuple(self.spec.LP_r_max), add_rate=0.5)
             return imgs, (car_labels, lp_labels)
@@ -165,7 +167,18 @@ class Trainer:
     # ------------------------------------------------------------------
     def next_backgrounds(self, key):
         bg = self.backgrounds.sample(key, self.batch_size)
-        return jax.device_put(bg, batch_sharding(self.mesh))
+        sh = batch_sharding(self.mesh)
+        if jax.process_count() > 1:
+            # multi-host (DCN) feed: every host samples the same global
+            # batch (same key), keeps its own rows, and assembles the
+            # global sharded array — device_put cannot address another
+            # host's devices
+            from yolo_tpu.parallel.distributed import local_batch_slice
+            import numpy as np
+            local = np.asarray(bg[local_batch_slice(self.batch_size)])
+            return jax.make_array_from_process_local_data(
+                sh, local, bg.shape)
+        return jax.device_put(bg, sh)
 
     def train(self, num_steps: int,
               log_every: int = 10,
