@@ -9,11 +9,25 @@
 //
 //   pjrt_node <plugin.so> <module.mlir> <frame_h> <frame_w>
 //             <net_h> <net_w> <batch> <frames.raw> [max_batches]
+//             [weights.bin] [dump_dir]
 //
 // frames.raw: concatenated H*W*3 uint8 RGB frames (e.g. from
 //   ffmpeg -i in.mp4 -f rawvideo -pix_fmt rgb24 frames.raw
-// Prints per-batch latency and the first row of the first output, then a
-// one-line JSON summary.
+//
+// weights.bin (optional): trained model parameters passed as trailing
+// executable arguments, uploaded to the device ONCE before the serving
+// loop (the exported module keeps weights as arguments instead of
+// constants so its StableHLO stays small). Format: "YTW1" magic,
+// int32 n_tensors, then per tensor int32 ndims, int64 dims[ndims],
+// int32 dtype (0=f32), raw data. Written by
+// yolo_tpu/tools/pjrt_node_demo.py write_weights_bin.
+//
+// dump_dir (optional): every output of every batch is written to
+// <dump_dir>/b<batch>_o<output>.bin (raw bytes) so a checker process can
+// compare detections against the jax reference.
+//
+// Prints per-batch latency, then a one-line JSON summary separating the
+// first (warm-up) batch from steady-state timing.
 //
 // Build: make -C native pjrt_node
 
@@ -22,6 +36,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -41,6 +56,8 @@ extern "C" {
 void* ps_create(const char* plugin_path);
 const char* ps_last_error(void* handle);
 int ps_compile(void* handle, const char* code, size_t code_size);
+int ps_upload(void* handle, const void* data, const int64_t* dims,
+              int ndims, int type);
 int ps_execute(void* handle, const void* const* args_data,
                const int64_t* const* args_dims, const int* args_ndims,
                const int* args_types, int n_args);
@@ -51,11 +68,75 @@ void ps_output_read(void* handle, int i, void* dst);
 void ps_destroy(void* handle);
 }
 
+namespace {
+
+// Load weights.bin and upload every tensor as a persistent device
+// argument. Returns the tensor count, or -1 on error.
+int upload_weights(void* eng, const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { perror("weights"); return -1; }
+  char magic[4];
+  int32_t n_tensors = 0;
+  if (fread(magic, 1, 4, f) != 4 || memcmp(magic, "YTW1", 4) != 0 ||
+      fread(&n_tensors, 4, 1, f) != 1) {
+    fprintf(stderr, "weights: bad header in %s\n", path);
+    fclose(f);
+    return -1;
+  }
+  std::vector<uint8_t> data;
+  for (int32_t t = 0; t < n_tensors; t++) {
+    int32_t ndims = 0, dtype = 0;
+    if (fread(&ndims, 4, 1, f) != 1 || ndims < 0 || ndims > 8) goto bad;
+    {
+      int64_t dims[8];
+      if (ndims && fread(dims, 8, ndims, f) != static_cast<size_t>(ndims))
+        goto bad;
+      if (fread(&dtype, 4, 1, f) != 1) goto bad;
+      size_t elems = 1;
+      for (int i = 0; i < ndims; i++) elems *= static_cast<size_t>(dims[i]);
+      const size_t esize = dtype == 2 ? 1 : dtype == 3 ? 2 : 4;
+      data.resize(elems * esize);
+      if (elems && fread(data.data(), 1, data.size(), f) != data.size())
+        goto bad;
+      if (ps_upload(eng, data.data(), dims, ndims, dtype) < 0) {
+        fprintf(stderr, "weights: upload %d failed: %s\n", t,
+                ps_last_error(eng));
+        fclose(f);
+        return -1;
+      }
+    }
+    continue;
+  bad:
+    fprintf(stderr, "weights: truncated tensor %d in %s\n", t, path);
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+  return n_tensors;
+}
+
+void dump_outputs(void* eng, const char* dir, int batch_idx, int n_out) {
+  for (int i = 0; i < n_out; i++) {
+    int64_t nbytes = ps_output_nbytes(eng, i);
+    std::vector<uint8_t> out(static_cast<size_t>(nbytes));
+    ps_output_read(eng, i, out.data());
+    char path[4096];
+    snprintf(path, sizeof(path), "%s/b%03d_o%d.bin", dir, batch_idx, i);
+    FILE* f = fopen(path, "wb");
+    if (!f) { perror(path); return; }
+    fwrite(out.data(), 1, out.size(), f);
+    fclose(f);
+  }
+}
+
+}  // namespace
+
 int main(int argc, char** argv) {
   if (argc < 9) {
     fprintf(stderr,
             "usage: %s <plugin.so> <module.mlir> <frame_h> <frame_w> "
-            "<net_h> <net_w> <batch> <frames.raw> [max_batches]\n",
+            "<net_h> <net_w> <batch> <frames.raw> [max_batches] "
+            "[weights.bin] [dump_dir]\n",
             argv[0]);
     return 2;
   }
@@ -66,6 +147,8 @@ int main(int argc, char** argv) {
   const int batch = atoi(argv[7]);
   const char* frames_path = argv[8];
   const int max_batches = argc > 9 ? atoi(argv[9]) : 0;
+  const char* weights_path = argc > 10 && argv[10][0] ? argv[10] : nullptr;
+  const char* dump_dir = argc > 11 && argv[11][0] ? argv[11] : nullptr;
 
   // ---- load + compile the StableHLO module ----
   FILE* f = fopen(module_path, "rb");
@@ -82,13 +165,36 @@ int main(int argc, char** argv) {
 
   void* eng = ps_create(plugin);
   if (!eng) return 1;
+  auto tc0 = std::chrono::steady_clock::now();
   if (ps_compile(eng, code.data(), code.size()) != 0) {
     fprintf(stderr, "compile: %s\n", ps_last_error(eng));
     return 1;
   }
+  double compile_ms = std::chrono::duration<double, std::milli>(
+                          std::chrono::steady_clock::now() - tc0)
+                          .count();
+
+  // ---- upload trained weights once (device-resident arguments) ----
+  int n_weights = 0;
+  double weights_ms = 0.0;
+  if (weights_path) {
+    auto tw0 = std::chrono::steady_clock::now();
+    n_weights = upload_weights(eng, weights_path);
+    if (n_weights < 0) return 1;
+    weights_ms = std::chrono::duration<double, std::milli>(
+                     std::chrono::steady_clock::now() - tw0)
+                     .count();
+    fprintf(stderr, "uploaded %d weight tensors in %.0f ms\n", n_weights,
+            weights_ms);
+  }
 
   // ---- stream frames through the ring ----
-  void* ring = fp_ring_create(4 * batch, fh, fw);
+  // live runs (max_batches == 0) keep a small ring and drop stale
+  // frames; bounded verification runs must hold every frame so the
+  // dumped batches align with the checker's reference slices.
+  const int capacity =
+      max_batches > 0 ? max_batches * batch + batch : 4 * batch;
+  void* ring = fp_ring_create(capacity, fh, fw);
   fp_start_raw_stream(ring, frames_path);
 
   std::vector<float> buf(static_cast<size_t>(batch) * nh * nw * 3);
@@ -99,7 +205,7 @@ int main(int argc, char** argv) {
   const int types[1] = {0};  // f32
 
   int batches = 0;
-  double total_ms = 0.0;
+  double first_ms = 0.0, steady_ms = 0.0;
   while (max_batches == 0 || batches < max_batches) {
     int got = fp_ring_pop_batch(ring, buf.data(), batch, nh, nw, 0.5f);
     if (got == 0) {
@@ -122,8 +228,13 @@ int main(int argc, char** argv) {
     double ms = std::chrono::duration<double, std::milli>(
                     std::chrono::steady_clock::now() - t0)
                     .count();
-    total_ms += ms;
+    if (batches == 0)
+      first_ms = ms;      // includes device warm-up / first dispatch
+    else
+      steady_ms += ms;
     batches++;
+
+    if (dump_dir) dump_outputs(eng, dump_dir, batches - 1, n_out);
 
     // print the first row of output 0 (car detection row)
     int rank = ps_output_rank(eng, 0);
@@ -137,11 +248,17 @@ int main(int argc, char** argv) {
     printf("\n");
   }
 
-  printf("{\"batches\": %d, \"frames\": %d, \"mean_ms_per_batch\": %.3f, "
-         "\"fps\": %.1f}\n",
-         batches, batches * batch,
-         batches ? total_ms / batches : 0.0,
-         total_ms > 0 ? batches * batch / (total_ms / 1e3) : 0.0);
+  const int steady_batches = batches > 1 ? batches - 1 : 0;
+  const double steady_mean =
+      steady_batches ? steady_ms / steady_batches : 0.0;
+  printf(
+      "{\"batches\": %d, \"frames\": %d, \"compile_ms\": %.0f, "
+      "\"weights_upload_ms\": %.0f, \"n_weight_tensors\": %d, "
+      "\"first_batch_ms\": %.3f, \"steady_ms_per_batch\": %.3f, "
+      "\"steady_fps\": %.1f}\n",
+      batches, batches * batch, compile_ms, weights_ms, n_weights,
+      first_ms, steady_mean,
+      steady_mean > 0 ? batch / (steady_mean / 1e3) : 0.0);
 
   fp_ring_destroy(ring);
   ps_destroy(eng);

@@ -34,12 +34,24 @@ struct Shim {
   PJRT_Device* device = nullptr;
   PJRT_LoadedExecutable* exec = nullptr;
   size_t num_outputs = 0;
+  // device-resident arguments uploaded once (model weights); appended
+  // after the streamed arguments on every execute
+  std::vector<PJRT_Buffer*> persistent;
   // last-execution outputs (host copies)
   std::vector<std::vector<int64_t>> out_dims;
   std::vector<int> out_types;
   std::vector<std::vector<uint8_t>> out_data;
   std::string last_error;
 };
+
+PJRT_Buffer_Type to_pjrt_type(int t) {
+  switch (t) {
+    case 1: return PJRT_Buffer_Type_S32;
+    case 2: return PJRT_Buffer_Type_U8;
+    case 3: return PJRT_Buffer_Type_BF16;
+    default: return PJRT_Buffer_Type_F32;
+  }
+}
 
 bool check(Shim* s, PJRT_Error* err, const char* what) {
   if (err == nullptr) return true;
@@ -254,8 +266,39 @@ int ps_compile(void* handle, const char* code, size_t code_size) {
   return 0;
 }
 
-// Execute on one device with n_args dense float32/int32 arrays.
-// types[i]: 0 = f32, 1 = s32, 2 = u8. Returns number of outputs, or -1.
+// Upload a dense array as a persistent device-resident argument (model
+// weights: transferred once, appended after the streamed args on every
+// ps_execute). types: 0 = f32, 1 = s32, 2 = u8, 3 = bf16. Returns the
+// persistent index, or -1.
+int ps_upload(void* handle, const void* data, const int64_t* dims,
+              int ndims, int type) {
+  Shim* s = static_cast<Shim*>(handle);
+  PJRT_Client_BufferFromHostBuffer_Args b;
+  memset(&b, 0, sizeof(b));
+  b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  b.client = s->client;
+  b.data = data;
+  b.type = to_pjrt_type(type);
+  b.dims = dims;
+  b.num_dims = static_cast<size_t>(ndims);
+  b.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  b.device = s->device;
+  if (!check(s, s->api->PJRT_Client_BufferFromHostBuffer(&b), "upload"))
+    return -1;
+  if (!await_event(s, b.done_with_host_buffer, "upload_event")) return -1;
+  s->persistent.push_back(b.buffer);
+  return static_cast<int>(s->persistent.size()) - 1;
+}
+
+int ps_num_persistent(void* handle) {
+  return static_cast<int>(static_cast<Shim*>(handle)->persistent.size());
+}
+
+// Execute on one device with n_args dense arrays streamed from the host,
+// followed by any persistent arguments uploaded via ps_upload.
+// types[i]: 0 = f32, 1 = s32, 2 = u8, 3 = bf16. Returns number of
+// outputs, or -1.
 int ps_execute(void* handle, const void* const* args_data,
                const int64_t* const* args_dims, const int* args_ndims,
                const int* args_types, int n_args) {
@@ -268,9 +311,7 @@ int ps_execute(void* handle, const void* const* args_data,
     b.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
     b.client = s->client;
     b.data = args_data[i];
-    b.type = args_types[i] == 0 ? PJRT_Buffer_Type_F32
-             : args_types[i] == 1 ? PJRT_Buffer_Type_S32
-                                  : PJRT_Buffer_Type_U8;
+    b.type = to_pjrt_type(args_types[i]);
     b.dims = args_dims[i];
     b.num_dims = static_cast<size_t>(args_ndims[i]);
     b.host_buffer_semantics =
@@ -282,9 +323,14 @@ int ps_execute(void* handle, const void* const* args_data,
     in_bufs[i] = b.buffer;
   }
 
+  // full argument list: streamed args then persistent weights
+  std::vector<PJRT_Buffer*> all_args(in_bufs);
+  all_args.insert(all_args.end(), s->persistent.begin(),
+                  s->persistent.end());
+
   std::vector<PJRT_Buffer*> outs(s->num_outputs, nullptr);
   PJRT_Buffer** out_list = outs.data();
-  PJRT_Buffer* const* arg_list = in_bufs.data();
+  PJRT_Buffer* const* arg_list = all_args.data();
   PJRT_Event* done = nullptr;
 
   PJRT_ExecuteOptions opts;
@@ -298,7 +344,7 @@ int ps_execute(void* handle, const void* const* args_data,
   ex.options = &opts;
   ex.argument_lists = &arg_list;
   ex.num_devices = 1;
-  ex.num_args = static_cast<size_t>(n_args);
+  ex.num_args = all_args.size();
   ex.output_lists = &out_list;
   ex.device_complete_events = &done;
   ex.execute_device = s->device;
@@ -386,6 +432,13 @@ void ps_output_read(void* handle, int i, void* dst) {
 
 void ps_destroy(void* handle) {
   Shim* s = static_cast<Shim*>(handle);
+  for (auto* buf : s->persistent) {
+    PJRT_Buffer_Destroy_Args d;
+    memset(&d, 0, sizeof(d));
+    d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    d.buffer = buf;
+    s->api->PJRT_Buffer_Destroy(&d);
+  }
   if (s->exec) {
     PJRT_LoadedExecutable_Destroy_Args d;
     memset(&d, 0, sizeof(d));

@@ -226,3 +226,40 @@ def test_make_ocr_infer_decodes():
     scores, peaks = fn(crops)
     assert scores.shape[0] == 1 and peaks.shape == scores.shape
     assert peaks.dtype == jnp.int32
+
+
+def test_sharded_video_node_runs_real_pipeline():
+    """weak-#6 close-out: the ACTUAL JointPipeline (reduced-width nets,
+    real decode/unwarp/OCR stages) through ShardedVideoNode on the full
+    8-device mesh — not a toy mean() stand-in."""
+    import __graft_entry__ as graft
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.parallel import make_mesh
+    from yolo_tpu.pipeline import JointPipeline
+    from yolo_tpu.serve.video import FrameSource, ShardedVideoNode
+    from yolo_tpu.train import make_task
+
+    spec = graft._tiny_joint_spec(builtin_spec, batch_size=8)
+    joint_task = make_task("carlp", spec)
+    ocr_task = make_task("ocr", graft._tiny_ocr_spec(builtin_spec))
+    key = jax.random.PRNGKey(0)
+    jv = joint_task.init_variables(key)
+    ov = ocr_task.init_variables(key)
+    pipe = JointPipeline(joint_task, ocr_task, unwarp_sample_hw=(40, 96))
+
+    mesh = make_mesh()
+    results = []
+    node = ShardedVideoNode(lambda f: pipe(jv, ov, f), mesh,
+                            per_device_batch=1,
+                            sinks=[lambda i, r, fr: results.append(r)])
+    assert node.batch == 8
+    h, w = spec.size
+    stats = node.run(FrameSource("synthetic", (h, w), max_frames=8))
+    assert stats["batches"] == 1
+    (res,) = results
+    # reduced 96-wide strip -> 12 OCR slots (full pipeline: 24)
+    assert res.car.shape[0] == 8 and res.ocr_cls.shape == (8, 12)
+    assert np.isfinite(np.asarray(res.car)).all()
+    # the batch really spans the mesh
+    out = node.infer_fn(np.zeros((8, h, w, 3), np.float32))
+    assert len(out.car.sharding.device_set) == 8

@@ -94,3 +94,40 @@ def test_fused_conv_negative_slope_and_tiling():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4)
     assert float(jnp.min(got)) < 0   # leaky, not relu
+
+
+def test_convbnleaky_fused_dispatch_matches_xla(monkeypatch):
+    """The per-shape dispatch in ConvBNLeaky must (a) fire only for the
+    winning shapes, (b) reuse the standard Conv_0/BatchNorm_0 param tree
+    (trained checkpoints restore unchanged), and (c) match the XLA path
+    numerically with folded BN stats."""
+    from yolo_tpu.models import layers
+
+    m = layers.ConvBNLeaky(128, 3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 56, 56, 64),
+                          jnp.float32) * 0.5
+    variables = m.init(jax.random.PRNGKey(1), x, train=True)
+    # give BN stats non-trivial values so folding is actually exercised
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    bs = variables["batch_stats"]["BatchNorm_0"]
+    bs["mean"] = jnp.linspace(-0.2, 0.2, 128)
+    bs["var"] = jnp.linspace(0.5, 1.5, 128)
+
+    ref = m.apply(variables, x, train=False)      # XLA path (CPU backend)
+
+    monkeypatch.setattr(layers, "_on_tpu", lambda: True)
+    got = m.apply(variables, x, train=False)      # fused path (interpret)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4)
+
+    # non-winning shape must stay on XLA even when "on tpu"
+    m2 = layers.ConvBNLeaky(64, 3)
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (1, 14, 14, 32))
+    v2 = m2.init(jax.random.PRNGKey(3), x2, train=True)
+    out2 = m2.apply(v2, x2, train=False)
+    assert out2.shape == (1, 14, 14, 64)
+
+    # kill-switch honoured
+    monkeypatch.setenv("YOLO_TPU_FUSED_CONV", "0")
+    off = m.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(off), np.asarray(ref), atol=1e-6)

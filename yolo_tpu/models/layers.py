@@ -15,12 +15,66 @@ compute type (bfloat16 on TPU for speed, float32 for parity tests).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# (H, W, Cin, Cout) stage shapes where the hand-written Pallas schedule
+# beat XLA's conv on the real chip (reports/bench_conv_kernel.json:
+# 56^2: 1.49 vs 2.76 ms, 28^2: 1.30 vs 1.68, 7^2: 1.32 vs 1.77 at
+# batch 16 bf16). Inference-only: BatchNorm folds into the kernel's
+# affine epilogue. Losing shapes (112^2, 14^2) stay on XLA.
+FUSED_CONV_SHAPES = frozenset({
+    (56, 56, 64, 128), (28, 28, 128, 256), (7, 7, 512, 1024)})
+
+
+def _on_tpu() -> bool:  # separate so tests can force the fused path
+    return jax.default_backend() == "tpu"
+
+
+def fused_conv_enabled() -> bool:
+    """Per-shape Pallas conv dispatch switch (trace-time).
+
+    Disable with YOLO_TPU_FUSED_CONV=0 — e.g. when exporting StableHLO
+    for non-Mosaic consumers or to A/B the full model (bench.py).
+    """
+    return os.environ.get("YOLO_TPU_FUSED_CONV", "1") != "0"
+
+
+class _ConvKernelParam(nn.Module):
+    """Declares nn.Conv's kernel param (same path/init) without calling
+    XLA's conv — lets the fused path reuse trained checkpoints."""
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          tuple(self.shape), jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """Declares nn.BatchNorm's params/stats (same paths/inits) for the
+    folded inference epilogue."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
 
 
 class ConvBNLeaky(nn.Module):
@@ -31,6 +85,19 @@ class ConvBNLeaky(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        shape = (int(x.shape[1]), int(x.shape[2]), int(x.shape[3]),
+                 self.filters)
+        if (not train and self.kernel == 3 and self.stride == 1
+                and shape in FUSED_CONV_SHAPES and fused_conv_enabled()
+                and _on_tpu()):
+            from yolo_tpu.pallas.conv_kernel import fused_conv3x3_bn_leaky
+            w = _ConvKernelParam((3, 3, shape[2], self.filters),
+                                 name="Conv_0")()
+            gamma, beta, mean, var = _BNParams(self.filters,
+                                               name="BatchNorm_0")()
+            s = gamma * jax.lax.rsqrt(var + 1e-5)
+            return fused_conv3x3_bn_leaky(
+                x, w, s, beta - mean * s, alpha=0.1)
         x = nn.Conv(self.filters, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding="SAME", use_bias=False,

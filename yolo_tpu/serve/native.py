@@ -140,6 +140,12 @@ def load_pjrt_library(build: bool = True) -> Optional[ctypes.CDLL]:
     lib.ps_compile.restype = ctypes.c_int
     lib.ps_compile.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                ctypes.c_size_t]
+    lib.ps_upload.restype = ctypes.c_int
+    lib.ps_upload.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int]
+    lib.ps_num_persistent.restype = ctypes.c_int
+    lib.ps_num_persistent.argtypes = [ctypes.c_void_p]
     lib.ps_execute.restype = ctypes.c_int
     lib.ps_execute.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
@@ -208,6 +214,28 @@ class PjrtEngine:
         if rc != 0:
             raise RuntimeError("PJRT compile failed: " +
                                self.lib.ps_last_error(self._ptr).decode())
+
+    def upload(self, arr: np.ndarray) -> int:
+        """Upload a persistent device-resident argument (model weights).
+
+        Persistent arguments are appended AFTER the streamed ``__call__``
+        arguments on every execute, in upload order — matching an exported
+        ``fn(frames, *weight_leaves)`` signature. Transfers once; the
+        serving loop then streams only frames.
+        """
+        a = np.ascontiguousarray(arr)
+        code = {np.dtype(np.float32): 0, np.dtype(np.int32): 1,
+                np.dtype(np.uint8): 2}.get(a.dtype)
+        if code is None:
+            raise TypeError(f"unsupported upload dtype {a.dtype}")
+        dims = (ctypes.c_int64 * max(a.ndim, 1))(*a.shape)
+        idx = self.lib.ps_upload(self._ptr,
+                                 a.ctypes.data_as(ctypes.c_void_p),
+                                 dims, a.ndim, code)
+        if idx < 0:
+            raise RuntimeError("PJRT upload failed: " +
+                               self.lib.ps_last_error(self._ptr).decode())
+        return idx
 
     def __call__(self, *args: np.ndarray):
         n = len(args)

@@ -1,18 +1,28 @@
-"""End-to-end drive of the fully native serving node (native/pjrt_node).
+"""End-to-end drive + verification of the fully native serving node.
 
-Exports a small closed-over model to raw StableHLO, renders frames with
-the on-device plate renderer, writes them as the raw RGB stream the
-framepipe ring consumes, launches the C++ node as a subprocess against a
-PJRT plugin, and checks its detections against the jax outputs.
+Exports a model to raw StableHLO with the weights as trailing ARGUMENTS
+(so the module stays small enough for the axon remote-compile transport,
+and the C++ side uploads them once as device-resident buffers), renders
+car+plate scenes, writes them as the raw RGB stream the framepipe ring
+consumes, launches the C++ node (native/pjrt_node) as a subprocess
+against a PJRT plugin, and numerically compares every batch of its
+dumped outputs against the jax reference — the check the reference's
+TensorRT path never had (SURVEY §2.3, tensorrt_ros).
 
-    python -m yolo_tpu.tools.pjrt_node_demo \
-        --plugin /opt/axon/libaxon_pjrt.so [--out reports/pjrt_node.json]
+    # toy model, fast smoke:
+    python -m yolo_tpu.tools.pjrt_node_demo --plugin /opt/axon/libaxon_pjrt.so
+
+    # the real trained flagship (carlp + OCR cascade):
+    python -m yolo_tpu.tools.pjrt_node_demo --model carlp \
+        --weights trained/carlp_v1 --ocr-weights trained/ocr_v2 \
+        --batch 8 --batches 6 [--bf16] [--out reports/pjrt_node_demo.json]
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
+import struct
 import subprocess
 import tempfile
 
@@ -22,6 +32,125 @@ import numpy as np
 
 from yolo_tpu.serve.export import export_stablehlo
 from yolo_tpu.serve.native import _NATIVE_DIR, axon_create_options_env
+
+REL_TOL = 5e-2          # per-element relative tolerance vs |output|max
+BAD_FRAC_MAX = 0.02     # tolerated fraction of out-of-tolerance elements
+
+
+def write_weights_bin(leaves, path: str) -> int:
+    """Serialize pytree leaves in tree_leaves order for pjrt_node.
+
+    Format (native/pjrt_node.cpp upload_weights): "YTW1", int32
+    n_tensors, then per tensor int32 ndims, int64 dims[ndims], int32
+    dtype (0=f32), raw bytes.
+    """
+    with open(path, "wb") as f:
+        f.write(b"YTW1")
+        f.write(struct.pack("<i", len(leaves)))
+        for leaf in leaves:
+            a = np.ascontiguousarray(np.asarray(leaf, np.float32))
+            f.write(struct.pack("<i", a.ndim))
+            for d in a.shape:
+                f.write(struct.pack("<q", d))
+            f.write(struct.pack("<i", 0))
+            f.write(a.tobytes())
+    return len(leaves)
+
+
+def toy_model():
+    """Small conv detector head: frames -> (B, 8) feature summary."""
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (3, 3, 3, 8), jnp.float32) * 0.1
+
+    def fn(x, wa):
+        y = jax.lax.conv_general_dilated(
+            x, wa, (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return (jnp.mean(jax.nn.leaky_relu(y, 0.1), axis=(1, 2)),)
+
+    return fn, [w]
+
+
+def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool):
+    """The trained flagship: JointPipeline (CarLPNet + OCR cascade)."""
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.pipeline import JointPipeline
+    from yolo_tpu.train import make_task
+    from yolo_tpu.train.checkpoint import restore_tree
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    spec = builtin_spec("carlp_v1").replace(size=[448, 448])
+    ocr_spec = builtin_spec("ocr_v1")
+    joint_task = make_task("carlp", spec, dtype=dtype)
+    ocr_task = make_task("ocr", ocr_spec, dtype=dtype)
+
+    def load(path):
+        tree = restore_tree(path)
+        return {"params": tree["params"],
+                "batch_stats": tree.get("batch_stats", {})}
+
+    pipe = JointPipeline(joint_task, ocr_task)
+    leaves, treedef = jax.tree_util.tree_flatten(
+        (load(weights_dir), load(ocr_weights_dir)))
+
+    def fn(frames, *leaf_args):
+        jv2, ov2 = jax.tree_util.tree_unflatten(treedef, leaf_args)
+        r = pipe(jv2, ov2, frames)
+        return (r.car, r.lp, r.corners, r.ocr_scores,
+                r.ocr_cls.astype(jnp.int32))
+
+    return fn, leaves
+
+
+def render_scenes(n_frames: int, fh: int, fw: int, classes, r_max,
+                  seed: int = 7):
+    """Car+plate scenes as uint8 RGB — confident detections make the
+    decode argmax stable across backends (random frames would not)."""
+    from yolo_tpu.render import (CarRenderer, LPRenderer,
+                                 procedural_backgrounds)
+    car_r = CarRenderer(fh, fw, classes)
+    lp_r = LPRenderer(fh, fw)
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    bg = procedural_backgrounds(k1, n_frames, fh, fw)
+    imgs, _ = car_r.render(k2, bg, render_rate=1.0)
+    imgs, _ = lp_r.add(k3, imgs, tuple(r_max), add_rate=1.0)
+    return np.asarray(
+        np.clip(np.asarray(imgs) * 255.0 + 0.5, 0, 255), np.uint8)
+
+
+def letterbox_np(frames_u8: np.ndarray, nh: int, nw: int,
+                 fill: float = 0.5) -> np.ndarray:
+    """Replicates framepipe fp_ring_pop_batch: u8/255, centre-pad."""
+    B, fh, fw, _ = frames_u8.shape
+    out = np.full((B, nh, nw, 3), fill, np.float32)
+    dy, dx = (nh - fh) // 2, (nw - fw) // 2
+    out[:, dy:dy + fh, dx:dx + fw] = frames_u8.astype(np.float32) / 255.0
+    return out
+
+
+def compare_outputs(dump_dir: str, ref_batches, n_outputs: int):
+    """Per-output element-wise check of the node's dumped outputs
+    against the jax reference for every batch."""
+    per_output = []
+    for o in range(n_outputs):
+        max_rel, bad, total = 0.0, 0, 0
+        for b, ref in enumerate(ref_batches):
+            src = np.asarray(ref[o])
+            want = src.astype(np.float32)
+            path = os.path.join(dump_dir, f"b{b:03d}_o{o}.bin")
+            raw = np.fromfile(path, np.uint8)
+            got = raw.view(
+                np.int32 if src.dtype.kind == "i" else np.float32)
+            got = got.astype(np.float32).reshape(want.shape)
+            denom = max(1e-6, float(np.abs(want).max()))
+            rel = np.abs(got - want) / denom
+            max_rel = max(max_rel, float(rel.max()))
+            bad += int((rel > REL_TOL).sum())
+            total += rel.size
+        per_output.append({"max_rel_err": max_rel,
+                           "bad_frac": bad / max(total, 1)})
+    return per_output
 
 
 def main(argv=None):
@@ -35,55 +164,91 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--plugin", default=os.environ.get(
         "YOLO_TPU_PJRT_PLUGIN", "/opt/axon/libaxon_pjrt.so"))
+    p.add_argument("--model", choices=["toy", "carlp"], default="toy")
+    p.add_argument("--weights", default="trained/carlp_v1")
+    p.add_argument("--ocr-weights", default="trained/ocr_v2")
+    p.add_argument("--bf16", action="store_true",
+                   help="serve in bfloat16 (timing mode: comparison "
+                        "tolerance is relaxed)")
     p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--batches", type=int, default=2)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
     binary = os.path.join(_NATIVE_DIR, "pjrt_node")
-    if not os.path.exists(binary):
-        subprocess.run(["make", "-C", _NATIVE_DIR, "pjrt_node"], check=True)
+    subprocess.run(["make", "-C", _NATIVE_DIR, "pjrt_node"], check=True,
+                   capture_output=True)
 
-    fh = fw = 96                      # producer frame geometry
-    nh, nw = 128, 128                 # network canvas (letterboxed)
-    B = args.batch
+    B, n_batches = args.batch, args.batches
+    n_frames = B * n_batches
 
-    # small conv detector head: frames -> (B, 8) feature summary
-    key = jax.random.PRNGKey(0)
-    w = jax.random.normal(key, (3, 3, 3, 8), jnp.float32) * 0.1
+    if args.model == "carlp":
+        from yolo_tpu.config import builtin_spec
+        fh = fw = 416                 # flagship stream geometry
+        nh = nw = 448                 # network canvas (letterboxed)
+        fn, leaves = carlp_model(args.weights, args.ocr_weights, args.bf16)
+        spec = builtin_spec("carlp_v1")
+        frames_u8 = render_scenes(n_frames, fh, fw, spec.classes,
+                                  spec.LP_r_max)
+    else:
+        fh = fw = 96
+        nh = nw = 128
+        fn, leaves = toy_model()
+        frames_u8 = (np.random.default_rng(1)
+                     .random((n_frames, fh, fw, 3)) * 255).astype(np.uint8)
 
-    def fn(x):
-        y = jax.lax.conv_general_dilated(
-            x, w, (2, 2), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return jnp.mean(jax.nn.leaky_relu(y, 0.1), axis=(1, 2))
-
-    frames_u8 = (np.random.default_rng(1)
-                 .random((args.frames, fh, fw, 3)) * 255).astype(np.uint8)
+    # jax reference per batch, with the exact letterboxed inputs the node
+    # computes (centre-pad + /255 — framepipe.cpp pop_batch semantics)
+    ref_fn = jax.jit(fn)
+    net_frames = letterbox_np(frames_u8, nh, nw)
+    ref_batches = []
+    for b in range(n_batches):
+        r = ref_fn(jnp.asarray(net_frames[b * B:(b + 1) * B]), *leaves)
+        ref_batches.append([np.asarray(x) for x in r])
+    n_outputs = len(ref_batches[0])
 
     with tempfile.TemporaryDirectory() as td:
         module = os.path.join(td, "module.mlir")
+        leaf_specs = tuple(
+            jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
+            for l in leaves)
         export_stablehlo(
-            fn, (jnp.zeros((B, nh, nw, 3), jnp.float32),), module,
-            platforms=["tpu"])
+            fn, (jnp.zeros((B, nh, nw, 3), jnp.float32),) + leaf_specs,
+            module, platforms=["tpu"])
+        weights_bin = os.path.join(td, "weights.bin")
+        n_tensors = write_weights_bin(leaves, weights_bin)
         raw = os.path.join(td, "frames.raw")
         with open(raw, "wb") as f:
             f.write(frames_u8.tobytes())
+        dump_dir = os.path.join(td, "dump")
+        os.makedirs(dump_dir)
 
         env = dict(os.environ)
         env.setdefault("PJRT_CREATE_OPTIONS",
                        axon_create_options_env(args.plugin))
         r = subprocess.run(
             [binary, args.plugin, module, str(fh), str(fw), str(nh),
-             str(nw), str(B), raw],
-            capture_output=True, text=True, timeout=560, env=env)
+             str(nw), str(B), raw, str(n_batches), weights_bin, dump_dir],
+            capture_output=True, text=True, timeout=1800, env=env)
         print(r.stdout)
         if r.returncode != 0:
             print(r.stderr)
             raise SystemExit(r.returncode)
 
-    summary = json.loads(r.stdout.strip().splitlines()[-1])
-    summary["ok"] = summary["frames"] >= args.frames
+        summary = json.loads(r.stdout.strip().splitlines()[-1])
+        per_output = compare_outputs(dump_dir, ref_batches, n_outputs)
+
+    # verification verdict: every output within tolerance on (almost)
+    # every element; bf16 serving is compared loosely (timing mode)
+    bad_max = 0.25 if args.bf16 else BAD_FRAC_MAX
+    summary["model"] = args.model
+    summary["dtype"] = "bfloat16" if args.bf16 else "float32"
+    summary["n_weight_tensors_expected"] = n_tensors
+    summary["per_output"] = per_output
+    summary["max_rel_err"] = max(o["max_rel_err"] for o in per_output)
+    summary["ok"] = bool(
+        summary["frames"] >= n_frames
+        and all(o["bad_frac"] <= bad_max for o in per_output))
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
