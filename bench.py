@@ -123,8 +123,10 @@ def main():
             weight_provenance[slot] = f"random-init (restore failed: {path})"
             return variables
     import os as _os
-    if _os.path.isdir("trained/carlp_v1"):
-        jv = try_restore(jv, "trained/carlp_v1", "joint")
+    for joint_dir in ("trained/carlp_v2", "trained/carlp_v1"):
+        if _os.path.isdir(joint_dir):
+            jv = try_restore(jv, joint_dir, "joint")
+            break
     for ocr_dir in ("trained/ocr_v2", "trained/ocr_v1_cascade"):
         if _os.path.isdir(ocr_dir):
             ov = try_restore(ov, ocr_dir, "ocr")

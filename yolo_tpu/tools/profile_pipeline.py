@@ -140,6 +140,24 @@ def main(argv=None):
         rows[name] = timeit(f, (jv, ov, frames), iters,
                             lambda r: r.car[0, 0])
 
+    # ---- MFU for the headline point (v5e bf16 peak = 197 TFLOP/s) ----
+    mfu = None
+    try:
+        pipe = JointPipeline(joint_task, ocr_task,
+                             unwarp_sample_hw=(64, 160))
+        lowered = jax.jit(pipe.__call__).lower(jv, ov, frames)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        ms = rows.get("full_pipeline_default")
+        if flops > 0 and ms:
+            peak = 197e12 if backend == "tpu" else None
+            if peak:
+                mfu = flops / (ms * 1e-3) / peak
+    except Exception as e:  # cost analysis is best-effort per backend
+        print(f"cost_analysis unavailable: {e!r}")
+
     if args.trace:
         pipe = JointPipeline(joint_task, ocr_task,
                              unwarp_sample_hw=(64, 160))
@@ -155,7 +173,11 @@ def main(argv=None):
     print("|---|---|---|")
     for k, v in rows.items():
         print(f"| {k} | {v:.2f} | {B / v * 1e3:.0f} |")
-    line = {"backend": backend, "batch": B, "size": S, "ms": rows}
+    if mfu is not None:
+        print(f"| MFU (full pipeline, {backend} bf16 peak) | "
+              f"{mfu * 100:.1f}% | |")
+    line = {"backend": backend, "batch": B, "size": S, "ms": rows,
+            "mfu_full_pipeline": mfu}
     print(json.dumps(line))
     if args.out:
         with open(args.out, "w") as f:
