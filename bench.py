@@ -88,7 +88,11 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    batch = 64 if on_tpu else 4
+    # default 64 = the recorded sweep optimum; YOLO_TPU_BENCH_BATCH
+    # overrides for throughput/batch sweeps without changing the
+    # driver-invoked default
+    batch = int(os.environ.get("YOLO_TPU_BENCH_BATCH",
+                               "64" if on_tpu else "4"))
     iters = 50 if on_tpu else 3
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 

@@ -115,6 +115,9 @@ def test_convbnleaky_fused_dispatch_matches_xla(monkeypatch):
 
     ref = m.apply(variables, x, train=False)      # XLA path (CPU backend)
 
+    # the dispatch is opt-in (the whole-model chip A/B favoured XLA:
+    # 1079 vs 995 FPS) — enable it explicitly to exercise the path
+    monkeypatch.setenv("YOLO_TPU_FUSED_CONV", "1")
     monkeypatch.setattr(layers, "_on_tpu", lambda: True)
     got = m.apply(variables, x, train=False)      # fused path (interpret)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

@@ -137,3 +137,95 @@ def test_train_step_sharded_over_mesh(tmp_path):
     step = trainer.make_step()
     state, losses = step(trainer.state, jax.random.PRNGKey(2), bg)
     assert np.isfinite(float(losses["total"]))
+
+
+def test_train_step_tensor_parallel(tmp_path):
+    """2-D (data, model) mesh: wide conv kernels shard their output
+    channels over 'model' and the step's loss matches the pure-DP run
+    (same seeds => same synthesized batch; only the reduction layout
+    differs)."""
+    from jax.sharding import PartitionSpec
+    from yolo_tpu.parallel import model_axis_size
+
+    spec = tiny_carlp_spec().replace(tp_min_features=16)
+    assets = procedural_car_assets(num_azi=4, num_ele=1)
+
+    def one_step(mesh, workdir):
+        trainer = Trainer(make_task("carlp", spec), str(tmp_path / workdir),
+                          mesh=mesh, record=False, car_assets=assets)
+        step = trainer.make_step()
+        bg = trainer.next_backgrounds(jax.random.PRNGKey(1))
+        return step(trainer.state, jax.random.PRNGKey(2), bg)
+
+    tp_mesh = make_mesh(axis_names=("data", "model"), model_size=2)
+    assert model_axis_size(tp_mesh) == 2
+    state_tp, losses_tp = one_step(tp_mesh, "tp")
+    state_dp, losses_dp = one_step(make_mesh(), "dp")
+
+    # TP actually happened: some updated kernel is channel-sharded
+    tp_specs = [x.sharding.spec for x in
+                jax.tree_util.tree_leaves(state_tp.params)
+                if getattr(x, "ndim", 0) == 4]
+    assert any(s == PartitionSpec(None, None, None, "model")
+               for s in tp_specs), tp_specs
+
+    # and the math is the same program: losses agree with the DP run
+    np.testing.assert_allclose(float(losses_tp["total"]),
+                               float(losses_dp["total"]),
+                               rtol=2e-4)
+
+    # math parity under TP sharding. The well-conditioned checks are
+    # tight: the eval forward is bitwise-level identical and the loss
+    # agrees to reduction-order noise. Elementwise grad equality is NOT
+    # well-conditioned here — BatchNorm's train-mode backward multiplies
+    # epsilon-level reduction differences by 1/sigma through six stages —
+    # so gradients are compared at norm level (catches wrong psum /
+    # denominator bugs, which are 2x-8x, not few-percent).
+    from yolo_tpu.parallel import state_sharding_tree
+    task = make_task("carlp", spec)
+    trainer = Trainer(task, str(tmp_path / "g"), mesh=tp_mesh,
+                      record=False, car_assets=assets)
+    bg = trainer.next_backgrounds(jax.random.PRNGKey(1))
+    images, labels = jax.jit(trainer.synthesize)(jax.random.PRNGKey(3), bg)
+    p = trainer.state.params
+    bs = trainer.state.batch_stats
+    p_sh = state_sharding_tree(tp_mesh, p, min_features=16)
+
+    fwd = lambda q: task.apply_eval({"params": q, "batch_stats": bs},
+                                    images)
+    (car_a, lp_a) = jax.jit(fwd)(p)
+    (car_b, lp_b) = jax.jit(fwd, in_shardings=(p_sh,))(p)
+    for x, y in zip([*car_a, lp_a], [*car_b, lp_b]):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32), atol=1e-5)
+
+    def gradfn(params):
+        return jax.grad(
+            lambda q: task.loss(q, bs, images, labels)[0])(params)
+
+    # Control experiment (recorded r3): with NO model axis at all, the
+    # same gradients computed with an 8-way vs 4-way batch split differ
+    # by up to 46% in leaf norm — BN's train-mode backward chaotically
+    # amplifies reduction-order noise through six stages at random
+    # init. TP vs the same-split DP measured ~6%. So this bound only
+    # screens for structural TP bugs (wrong psum/denominator: 2x-8x).
+    from jax.sharding import NamedSharding
+    repl_tree = jax.tree_util.tree_map(
+        lambda _: NamedSharding(tp_mesh, PartitionSpec()), p)
+    g_tp = jax.jit(gradfn, in_shardings=(p_sh,))(p)
+    g_dp = jax.jit(gradfn, in_shardings=(repl_tree,))(p)
+    xs = [np.asarray(x, np.float32).ravel()
+          for x in jax.tree_util.tree_leaves(g_tp)]
+    ys = [np.asarray(y, np.float32).ravel()
+          for y in jax.tree_util.tree_leaves(g_dp)]
+    # global norm is the well-conditioned aggregate (leaf-level BN noise
+    # partially cancels); individual leaves get a loose screen that still
+    # catches a single doubled/zeroed leaf (rel diff 1.0)
+    gx, gy = np.concatenate(xs), np.concatenate(ys)
+    gn = float(np.linalg.norm(gy))
+    assert float(np.linalg.norm(gx - gy)) <= 0.3 * gn + 1e-6, \
+        (np.linalg.norm(gx - gy), gn)
+    for x, y in zip(xs, ys):
+        n = float(np.linalg.norm(y))
+        assert float(np.linalg.norm(x - y)) <= 0.75 * n + 1e-6, \
+            (np.linalg.norm(x - y), n)

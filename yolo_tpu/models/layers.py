@@ -38,12 +38,17 @@ def _on_tpu() -> bool:  # separate so tests can force the fused path
 
 
 def fused_conv_enabled() -> bool:
-    """Per-shape Pallas conv dispatch switch (trace-time).
+    """Per-shape Pallas conv dispatch switch (trace-time), default OFF.
 
-    Disable with YOLO_TPU_FUSED_CONV=0 — e.g. when exporting StableHLO
-    for non-Mosaic consumers or to A/B the full model (bench.py).
+    The kernel beats XLA's conv on isolated shapes (bench_conv_kernel:
+    56^2 1.49 vs 2.76 ms) but LOSES in the full model — the whole-model
+    A/B on the chip measured 995 FPS fused vs 1079 FPS XLA-only
+    (reports/bench_final r3 A/B): swapping pallas_call blocks into the
+    conv chain breaks XLA's cross-op fusion/layout pipeline by more
+    than the per-conv win. Kept as an opt-in (YOLO_TPU_FUSED_CONV=1)
+    for shapes/compositions where isolation wins apply.
     """
-    return os.environ.get("YOLO_TPU_FUSED_CONV", "1") != "0"
+    return os.environ.get("YOLO_TPU_FUSED_CONV", "0") == "1"
 
 
 class _ConvKernelParam(nn.Module):

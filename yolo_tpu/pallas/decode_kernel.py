@@ -19,7 +19,7 @@ import numpy as np
 
 
 def _kernel(in_ref, row_ref, idx_ref):
-    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental import pallas as pl
 
     x = in_ref[0]                                   # (R, C)
     s = x[:, 0:1]                                   # raw score column
@@ -27,7 +27,10 @@ def _kernel(in_ref, row_ref, idx_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     big = jnp.int32(s.shape[0])
     idx = jnp.min(jnp.where(s >= m, rows, big))
-    idx_ref[0, 0] = idx                             # SMEM scalar store
+    # the SMEM index output is one full (B, 1) block shared across the
+    # sequential grid (Mosaic rejects (1, 1) sub-blocks); each grid step
+    # writes its own row
+    idx_ref[pl.program_id(0), 0] = idx
     row_ref[0] = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=0)
 
 
@@ -53,7 +56,7 @@ def best_cell_decode(merged, interpret=None):
         grid=(B,),
         in_specs=[pl.BlockSpec((1, R, C), lambda b: (b, 0, 0))],
         out_specs=(pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0)),
-                   pl.BlockSpec((1, 1), lambda b: (b, 0),
+                   pl.BlockSpec((B, 1), lambda b: (0, 0),
                                 memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((B, 1, C), merged.dtype),
                    jax.ShapeDtypeStruct((B, 1), jnp.int32)),

@@ -1,2 +1,3 @@
 from yolo_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, batch_sharding, replicated_sharding, shard_batch)
+    make_mesh, batch_sharding, model_axis_size, replicated_sharding,
+    shard_batch, state_sharding_tree)

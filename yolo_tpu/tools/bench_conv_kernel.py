@@ -27,6 +27,16 @@ SHAPES = [
     (7, 7, 512, 1024),
 ]
 
+# The trained parity operating point (320x512 — car/v1/spec.yaml size)
+# runs non-square maps; --shapes 320x512 benches these instead.
+SHAPES_320x512 = [
+    (160, 256, 32, 64),
+    (80, 128, 64, 128),
+    (40, 64, 128, 256),
+    (20, 32, 256, 512),
+    (10, 16, 512, 1024),
+]
+
 
 def timeit(fn, args, iters):
     r = fn(*args)
@@ -45,9 +55,14 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--shapes", default="448",
+                   choices=["448", "320x512"],
+                   help="square 448-input stages or the non-square "
+                        "320x512 parity operating point")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
+    shapes = SHAPES if args.shapes == "448" else SHAPES_320x512
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     backend = jax.default_backend()
     key = jax.random.PRNGKey(0)
@@ -55,7 +70,7 @@ def main(argv=None):
     print(f"| H x W x Cin -> Cout (B={args.batch}, {args.dtype}, "
           f"{backend}) | XLA ms | Pallas ms | speedup |")
     print("|---|---|---|---|")
-    for (H, W, Cin, Cout) in SHAPES:
+    for (H, W, Cin, Cout) in shapes:
         x = jax.random.normal(key, (args.batch, H, W, Cin), dtype)
         w = (jax.random.normal(key, (3, 3, Cin, Cout), jnp.float32)
              * 0.05)
@@ -77,7 +92,7 @@ def main(argv=None):
               f"{ms_x / ms_p:.2f}x |")
 
     line = {"backend": backend, "batch": args.batch, "dtype": args.dtype,
-            "rows": rows}
+            "shapes": args.shapes, "rows": rows}
     print(json.dumps(line))
     if args.out:
         with open(args.out, "w") as f:

@@ -93,13 +93,26 @@ def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool):
     leaves, treedef = jax.tree_util.tree_flatten(
         (load(weights_dir), load(ocr_weights_dir)))
 
-    def fn(frames, *leaf_args):
+    # pack every leaf into ONE flat f32 argument: a 500-argument
+    # executable exhausts the TPU's sync-flag (sflag) memory — one
+    # copy-start per argument — while a single packed tensor costs one.
+    # The slices below are static, so XLA turns them into views.
+    shapes = [tuple(np.shape(l)) for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    offsets = np.cumsum([0] + sizes).tolist()
+    flat = np.concatenate(
+        [np.asarray(l, np.float32).ravel() for l in leaves])
+
+    def fn(frames, flat_w):
+        leaf_args = [
+            flat_w[offsets[i]:offsets[i + 1]].reshape(shapes[i])
+            for i in range(len(shapes))]
         jv2, ov2 = jax.tree_util.tree_unflatten(treedef, leaf_args)
         r = pipe(jv2, ov2, frames)
         return (r.car, r.lp, r.corners, r.ocr_scores,
                 r.ocr_cls.astype(jnp.int32))
 
-    return fn, leaves
+    return fn, [flat]
 
 
 def render_scenes(n_frames: int, fh: int, fw: int, classes, r_max,

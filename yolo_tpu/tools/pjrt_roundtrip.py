@@ -62,11 +62,20 @@ def full_pipeline():
     pipe = JointPipeline(joint_task, ocr_task, unwarp_sample_hw=(64, 160))
 
     def fn(frames):
+        # dense head maps first (strict comparison), then the fused
+        # pipeline's decoded outputs. The decoded ones are argmax-cell
+        # derived: under random-init weights the score map is near-flat
+        # and two independent compiles of the same program may pick
+        # different tied cells, so they are reported but not gated on —
+        # the trained-weight node demo (pjrt_node_demo --model carlp)
+        # compares them strictly on confident rendered scenes.
+        car_out, lp_map = joint_task.apply_eval(jv, frames)
         r = pipe(jv, ov, frames)
-        return r.car, r.lp, r.corners, r.ocr_scores
+        return (*car_out, lp_map, r.car, r.corners, r.ocr_scores)
 
     args = (jax.random.uniform(key, (4, 192, 192, 3), jnp.float32),)
-    return fn, args
+    n_strict = len(spec.all_anchors) + 1
+    return fn, args, n_strict
 
 
 def main(argv=None):
@@ -77,7 +86,11 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
-    fn, example_args = full_pipeline() if args.full else small_model()
+    if args.full:
+        fn, example_args, n_strict = full_pipeline()
+    else:
+        fn, example_args = small_model()
+        n_strict = None    # every output gates ok
 
     # jax reference values (on whatever backend this process uses)
     ref = jax.jit(fn)(*example_args)
@@ -96,13 +109,15 @@ def main(argv=None):
         got = np.asarray(got, np.float32).reshape(want.shape)
         denom = max(1e-6, float(np.abs(want).max()))
         errs.append(float(np.abs(got - want).max()) / denom)
+    gated = errs if n_strict is None else errs[:n_strict]
     result = {
         "plugin": args.plugin,
         "mode": "full_pipeline" if args.full else "small_model",
         "n_outputs": len(outs),
-        "max_rel_err": max(errs),
+        "n_strict": len(gated),
+        "max_rel_err": max(gated),
         "per_output_rel_err": errs,
-        "ok": bool(max(errs) < 5e-2),
+        "ok": bool(max(gated) < 5e-2),
     }
     print(json.dumps(result))
     if args.out:

@@ -25,7 +25,8 @@ from yolo_tpu.config import Spec
 from yolo_tpu.decode import decode_car
 from yolo_tpu.ops.boxes import iou_ltrb, make_grid_tables, yxhw_to_ltrb
 from yolo_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                    replicated_sharding)
+                                    model_axis_size, replicated_sharding,
+                                    state_sharding_tree)
 from yolo_tpu.render import BackgroundPool, CarRenderer, LPRenderer
 from yolo_tpu.train.checkpoint import (latest_checkpoint, restore_checkpoint,
                                        save_checkpoint)
@@ -156,10 +157,19 @@ class Trainer:
 
         repl = replicated_sharding(self.mesh)
         bsh = batch_sharding(self.mesh)
+        # 2-D (data, model) mesh: wide conv kernels + their adam moments
+        # shard their output channels over 'model' (tensor parallelism);
+        # on a 1-D mesh this is exactly the replicated tree.
+        if model_axis_size(self.mesh) > 1:
+            st_sh = state_sharding_tree(
+                self.mesh, self.state,
+                min_features=self.spec.get("tp_min_features", 256))
+        else:
+            st_sh = repl
         return jax.jit(
             step_fn,
-            in_shardings=(repl, repl, bsh),
-            out_shardings=(repl, repl),
+            in_shardings=(st_sh, repl, bsh),
+            out_shardings=(st_sh, repl),
             donate_argnums=(0,))
 
     # ------------------------------------------------------------------
