@@ -127,7 +127,8 @@ def main():
             weight_provenance[slot] = f"random-init (restore failed: {path})"
             return variables
     import os as _os
-    for joint_dir in ("trained/carlp_v2", "trained/carlp_v1"):
+    for joint_dir in ("trained/carlp_v3", "trained/carlp_v2",
+                      "trained/carlp_v1"):
         if _os.path.isdir(joint_dir):
             jv = try_restore(jv, joint_dir, "joint")
             break
