@@ -16,6 +16,7 @@
 // PJRT_INC autodetection).
 
 #include <dlfcn.h>
+#include <ctime>
 
 #include <cstdint>
 #include <cstdio>
@@ -42,7 +43,15 @@ struct Shim {
   std::vector<int> out_types;
   std::vector<std::vector<uint8_t>> out_data;
   std::string last_error;
+  // per-stage wall times of the last ps_execute (ms): h2d, execute, d2h
+  double t_h2d_ms = 0, t_exec_ms = 0, t_d2h_ms = 0;
 };
+
+double now_ms() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec * 1e3 + ts.tv_nsec * 1e-6;
+}
 
 PJRT_Buffer_Type to_pjrt_type(int t) {
   switch (t) {
@@ -50,6 +59,24 @@ PJRT_Buffer_Type to_pjrt_type(int t) {
     case 2: return PJRT_Buffer_Type_U8;
     case 3: return PJRT_Buffer_Type_BF16;
     default: return PJRT_Buffer_Type_F32;
+  }
+}
+
+size_t elem_size(PJRT_Buffer_Type t) {
+  switch (t) {
+    case PJRT_Buffer_Type_PRED:
+    case PJRT_Buffer_Type_S8:
+    case PJRT_Buffer_Type_U8: return 1;
+    case PJRT_Buffer_Type_S16:
+    case PJRT_Buffer_Type_U16:
+    case PJRT_Buffer_Type_F16:
+    case PJRT_Buffer_Type_BF16: return 2;
+    case PJRT_Buffer_Type_S64:
+    case PJRT_Buffer_Type_U64:
+    case PJRT_Buffer_Type_F64:
+    case PJRT_Buffer_Type_C64: return 8;
+    case PJRT_Buffer_Type_C128: return 16;
+    default: return 4;   // S32/U32/F32
   }
 }
 
@@ -305,6 +332,7 @@ int ps_execute(void* handle, const void* const* args_data,
   Shim* s = static_cast<Shim*>(handle);
   std::vector<PJRT_Buffer*> in_bufs(n_args, nullptr);
 
+  double t0 = now_ms();
   for (int i = 0; i < n_args; i++) {
     PJRT_Client_BufferFromHostBuffer_Args b;
     memset(&b, 0, sizeof(b));
@@ -348,8 +376,12 @@ int ps_execute(void* handle, const void* const* args_data,
   ex.output_lists = &out_list;
   ex.device_complete_events = &done;
   ex.execute_device = s->device;
+  double t1 = now_ms();
+  s->t_h2d_ms = t1 - t0;
   bool ok = check(s, s->api->PJRT_LoadedExecutable_Execute(&ex), "execute");
   if (ok) ok = await_event(s, done, "execute_event");
+  double t2 = now_ms();
+  s->t_exec_ms = t2 - t1;
 
   // destroy inputs
   for (auto* buf : in_bufs) {
@@ -382,10 +414,32 @@ int ps_execute(void* handle, const void* const* args_data,
     if (!check(s, s->api->PJRT_Buffer_ElementType(&et), "etype")) return -1;
     s->out_types[i] = static_cast<int>(et.type);
 
+    // request an explicit dense row-major host layout: with host_layout
+    // null PJRT copies in the SOURCE buffer's layout, and the TPU
+    // compiler is free to pick a permuted/tiled layout per output —
+    // which scrambled e.g. the (B, 4, 2) corners and the 5-D head maps
+    // while same-layout outputs compared exact (the
+    // reports/pjrt_roundtrip.json ok=false signature).
+    size_t esize = elem_size(static_cast<PJRT_Buffer_Type>(s->out_types[i]));
+    std::vector<int64_t> byte_strides(s->out_dims[i].size());
+    int64_t stride = static_cast<int64_t>(esize);
+    for (int k = static_cast<int>(byte_strides.size()) - 1; k >= 0; k--) {
+      byte_strides[k] = stride;
+      stride *= s->out_dims[i][k];
+    }
+    PJRT_Buffer_MemoryLayout layout;
+    memset(&layout, 0, sizeof(layout));
+    layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    layout.type = PJRT_Buffer_MemoryLayout_Type_Strides;
+    layout.strides.struct_size = PJRT_Buffer_MemoryLayout_Strides_STRUCT_SIZE;
+    layout.strides.byte_strides = byte_strides.data();
+    layout.strides.num_byte_strides = byte_strides.size();
+
     PJRT_Buffer_ToHostBuffer_Args th;
     memset(&th, 0, sizeof(th));
     th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     th.src = buf;
+    th.host_layout = &layout;
     th.dst = nullptr;                // size query
     if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h_size"))
       return -1;
@@ -400,7 +454,17 @@ int ps_execute(void* handle, const void* const* args_data,
     d.buffer = buf;
     s->api->PJRT_Buffer_Destroy(&d);
   }
+  s->t_d2h_ms = now_ms() - t2;
   return static_cast<int>(s->num_outputs);
+}
+
+// Per-stage wall times of the last ps_execute: out[0..2] = h2d ms,
+// execute ms (incl. completion wait), d2h ms.
+void ps_last_timings(void* handle, double* out) {
+  Shim* s = static_cast<Shim*>(handle);
+  out[0] = s->t_h2d_ms;
+  out[1] = s->t_exec_ms;
+  out[2] = s->t_d2h_ms;
 }
 
 int ps_output_rank(void* handle, int i) {

@@ -26,6 +26,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 
@@ -60,16 +61,32 @@ def main() -> int:
         try:
             proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                     stderr=subprocess.STDOUT, text=True)
-            deadline = t0 + args.timeout
+            # hard deadline on a timer thread: a child that blocks with NO
+            # output (the wedged-TPU-claim failure mode) would otherwise
+            # hang the `for line in stdout` loop forever — round-3
+            # post-mortem: a silent bench hang stalled the queue 40 min
+            # past its 900 s timeout
+            timed_out = threading.Event()
+
+            def _kill_on_deadline():
+                if proc.poll() is None:
+                    timed_out.set()
+                    proc.kill()
+
+            killer = threading.Timer(args.timeout, _kill_on_deadline)
+            killer.daemon = True
+            killer.start()
             assert proc.stdout is not None
             for line in proc.stdout:
                 log.write(line)
                 log.flush()
                 out_lines.append(line.rstrip("\n"))
-                if time.time() > deadline:
-                    proc.kill()
-                    break
-            rc = proc.wait(timeout=max(deadline - time.time(), 30))
+            rc = proc.wait(timeout=60)
+            killer.cancel()
+            if timed_out.is_set():
+                log.write(f"\n# runner: killed at {args.timeout:.0f}s "
+                          f"timeout\n")
+                rc = -9
         except subprocess.TimeoutExpired:
             proc.kill()
             rc = -9

@@ -32,6 +32,20 @@ def test_ring_push_pop_roundtrip(lib):
     ring.close()
 
 
+def test_ring_pop_batch_u8_raw(lib):
+    ring = FrameRing(8, 16, 24)
+    frames = [np.random.default_rng(i).integers(
+        0, 256, (16, 24, 3)).astype(np.uint8) for i in range(4)]
+    for f in frames:
+        ring.push(f)
+    out = ring.pop_batch_u8(3)
+    assert out.shape == (3, 16, 24, 3) and out.dtype == np.uint8
+    for i in range(3):
+        np.testing.assert_array_equal(out[i], frames[i])
+    assert ring.size == 1
+    ring.close()
+
+
 def test_ring_drops_oldest_when_full(lib):
     ring = FrameRing(2, 4, 4)
     for i in range(5):

@@ -37,6 +37,29 @@ def _pick_tile(n: int, cap: int) -> int:
     return t
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024   # scoped-vmem limit is 16 MB; leave margin
+
+
+def _pick_tile_vmem(H, W, Cin, Cout, itemsize) -> Optional[int]:
+    """Largest cout tile whose per-program VMEM footprint fits the budget:
+    double-buffered input slab + weights + output block, plus the f32
+    accumulator scratch. None if even the smallest divisor doesn't fit
+    (caller falls back to XLA)."""
+    cap = 256
+    while cap >= 1:
+        t = _pick_tile(Cout, cap)
+        est = (2 * (H + 2) * (W + 2) * Cin * itemsize      # input slab x2
+               + 2 * 9 * Cin * t * itemsize                # weight block x2
+               + 2 * H * W * t * itemsize                  # output block x2
+               + H * W * t * 4)                            # f32 scratch
+        if est <= _VMEM_BUDGET:
+            return t
+        if t == 1:
+            return None
+        cap = t - 1
+    return None
+
+
 def _kernel(xp_ref, w_ref, sb_ref, out_ref, acc, *,
             height: int, width: int, cin: int, alpha: float):
     tcout = out_ref.shape[3]
@@ -73,7 +96,10 @@ def fused_conv3x3_bn_leaky(x, w, scale, bias, alpha: float = 0.1,
         interpret = jax.default_backend() != "tpu"
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
-    tile_cout = tile_cout or _pick_tile(Cout, 256)
+    if tile_cout is None:
+        tile_cout = _pick_tile_vmem(H, W, Cin, Cout, x.dtype.itemsize)
+        if tile_cout is None:     # feature map too large for any tiling
+            return conv3x3_bn_leaky_xla(x, w, scale, bias, alpha)
     assert Cout % tile_cout == 0
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))

@@ -31,7 +31,10 @@ def _kernel(in_ref, row_ref, idx_ref):
     # sequential grid (Mosaic rejects (1, 1) sub-blocks); each grid step
     # writes its own row
     idx_ref[pl.program_id(0), 0] = idx
-    row_ref[0] = jax.lax.dynamic_slice_in_dim(x, idx, 1, axis=0)
+    # row extraction as one-hot mask + sum — Mosaic has no dynamic_slice
+    # lowering, and with exactly one matching row the sum is exact
+    onehot = (rows == idx).astype(x.dtype)          # (R, 1)
+    row_ref[0] = jnp.sum(x * onehot, axis=0, keepdims=True)
 
 
 def best_cell_decode(merged, interpret=None):

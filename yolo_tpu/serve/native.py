@@ -41,6 +41,9 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
     lib.fp_ring_pop_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_float]
+    lib.fp_ring_pop_batch_u8.restype = ctypes.c_int
+    lib.fp_ring_pop_batch_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.fp_ring_dropped.restype = ctypes.c_uint64
     lib.fp_ring_dropped.argtypes = [ctypes.c_void_p]
     lib.fp_ring_size.restype = ctypes.c_int
@@ -81,6 +84,14 @@ class FrameRing:
         got = self.lib.fp_ring_pop_batch(
             self._ptr, out.ctypes.data_as(ctypes.c_void_p),
             batch, out_h, out_w, ctypes.c_float(fill))
+        return out[:got]
+
+    def pop_batch_u8(self, batch: int) -> np.ndarray:
+        """Raw frames, no letterbox/normalize (device-side preprocessing
+        path: 4x less host->device traffic than the f32 pop)."""
+        out = np.empty((batch, self.h, self.w, 3), np.uint8)
+        got = self.lib.fp_ring_pop_batch_u8(
+            self._ptr, out.ctypes.data_as(ctypes.c_void_p), batch)
         return out[:got]
 
     def start_ppm_stream(self, path: str):

@@ -71,7 +71,8 @@ def toy_model():
     return fn, [w]
 
 
-def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool):
+def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool,
+                u8_hw=None):
     """The trained flagship: JointPipeline (CarLPNet + OCR cascade)."""
     from yolo_tpu.config import builtin_spec
     from yolo_tpu.pipeline import JointPipeline
@@ -103,7 +104,19 @@ def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool):
     flat = np.concatenate(
         [np.asarray(l, np.float32).ravel() for l in leaves])
 
+    nh, nw = spec.size
+
     def fn(frames, flat_w):
+        if u8_hw is not None:
+            # raw u8 ingestion: letterbox + /255 on device (the node
+            # streams (B, fh, fw, 3) u8 — 4x less H2D than f32 batches);
+            # bit-matches framepipe's fp_ring_pop_batch / letterbox_np
+            fh, fw = u8_hw
+            dy, dx = (nh - fh) // 2, (nw - fw) // 2
+            x = frames.astype(jnp.float32) / 255.0
+            frames = jnp.pad(
+                x, ((0, 0), (dy, nh - fh - dy), (dx, nw - fw - dx),
+                    (0, 0)), constant_values=0.5)
         leaf_args = [
             flat_w[offsets[i]:offsets[i + 1]].reshape(shapes[i])
             for i in range(len(shapes))]
@@ -183,11 +196,16 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="serve in bfloat16 (timing mode: comparison "
                         "tolerance is relaxed)")
+    p.add_argument("--u8", action="store_true",
+                   help="stream raw uint8 frames; letterbox+normalize "
+                        "run on device (carlp model only)")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--batches", type=int, default=2)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
+    if args.u8 and args.model != "carlp":
+        raise SystemExit("--u8 requires --model carlp")
     binary = os.path.join(_NATIVE_DIR, "pjrt_node")
     subprocess.run(["make", "-C", _NATIVE_DIR, "pjrt_node"], check=True,
                    capture_output=True)
@@ -199,7 +217,8 @@ def main(argv=None):
         from yolo_tpu.config import builtin_spec
         fh = fw = 416                 # flagship stream geometry
         nh = nw = 448                 # network canvas (letterboxed)
-        fn, leaves = carlp_model(args.weights, args.ocr_weights, args.bf16)
+        fn, leaves = carlp_model(args.weights, args.ocr_weights, args.bf16,
+                                 u8_hw=(fh, fw) if args.u8 else None)
         spec = builtin_spec("carlp_v1")
         frames_u8 = render_scenes(n_frames, fh, fw, spec.classes,
                                   spec.LP_r_max)
@@ -210,10 +229,12 @@ def main(argv=None):
         frames_u8 = (np.random.default_rng(1)
                      .random((n_frames, fh, fw, 3)) * 255).astype(np.uint8)
 
-    # jax reference per batch, with the exact letterboxed inputs the node
-    # computes (centre-pad + /255 — framepipe.cpp pop_batch semantics)
+    # jax reference per batch, with the exact inputs the node streams:
+    # u8 mode feeds raw frames (letterbox runs inside fn on device);
+    # f32 mode feeds centre-pad + /255 (framepipe pop_batch semantics)
     ref_fn = jax.jit(fn)
-    net_frames = letterbox_np(frames_u8, nh, nw)
+    net_frames = (frames_u8 if args.u8
+                  else letterbox_np(frames_u8, nh, nw))
     ref_batches = []
     for b in range(n_batches):
         r = ref_fn(jnp.asarray(net_frames[b * B:(b + 1) * B]), *leaves)
@@ -225,9 +246,10 @@ def main(argv=None):
         leaf_specs = tuple(
             jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
             for l in leaves)
-        export_stablehlo(
-            fn, (jnp.zeros((B, nh, nw, 3), jnp.float32),) + leaf_specs,
-            module, platforms=["tpu"])
+        in_spec = (jnp.zeros((B, fh, fw, 3), jnp.uint8) if args.u8
+                   else jnp.zeros((B, nh, nw, 3), jnp.float32))
+        export_stablehlo(fn, (in_spec,) + leaf_specs, module,
+                         platforms=["tpu"])
         weights_bin = os.path.join(td, "weights.bin")
         n_tensors = write_weights_bin(leaves, weights_bin)
         raw = os.path.join(td, "frames.raw")
@@ -239,10 +261,13 @@ def main(argv=None):
         env = dict(os.environ)
         env.setdefault("PJRT_CREATE_OPTIONS",
                        axon_create_options_env(args.plugin))
-        r = subprocess.run(
-            [binary, args.plugin, module, str(fh), str(fw), str(nh),
-             str(nw), str(B), raw, str(n_batches), weights_bin, dump_dir],
-            capture_output=True, text=True, timeout=1800, env=env)
+        argv = [binary, args.plugin, module, str(fh), str(fw), str(nh),
+                str(nw), str(B), raw, str(n_batches), weights_bin,
+                dump_dir]
+        if args.u8:
+            argv.append("u8")
+        r = subprocess.run(argv, capture_output=True, text=True,
+                           timeout=1800, env=env)
         print(r.stdout)
         if r.returncode != 0:
             print(r.stderr)
@@ -256,6 +281,7 @@ def main(argv=None):
     bad_max = 0.25 if args.bf16 else BAD_FRAC_MAX
     summary["model"] = args.model
     summary["dtype"] = "bfloat16" if args.bf16 else "float32"
+    summary["input"] = "u8" if args.u8 else "f32"
     summary["n_weight_tensors_expected"] = n_tensors
     summary["per_output"] = per_output
     summary["max_rel_err"] = max(o["max_rel_err"] for o in per_output)
