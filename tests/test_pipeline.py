@@ -114,3 +114,43 @@ def test_unwarp_consistency_with_renderer():
     assert c.min() < 0.4                # some ink
     # ink confined to the glyph band rows (35..125 of 160)
     assert c[0:20].mean() > c[40:120].mean()
+
+
+def test_joint_pipeline_topk_multi_object():
+    """Multi-object serving: a JointPipeline built with topk>0 runs a
+    2-car rendered scene through the SAME single program and returns
+    (B, k, 6+C) NMS-kept rows (VERDICT #5 serving leg; the reference's
+    argmax predict could only ever report one vehicle, car/YOLO.py:584)."""
+    from yolo_tpu.render import (CarRenderer, procedural_backgrounds,
+                                 procedural_car_assets)
+
+    joint_task = make_task("carlp", tiny_carlp_spec())
+    ocr_task = make_task("ocr", tiny_ocr_spec())
+    k = jax.random.PRNGKey(4)
+    jv = joint_task.init_variables(k)
+    ov = ocr_task.init_variables(k)
+
+    # real 2-object frames from the car renderer
+    spec = joint_task.spec
+    classes = spec.classes
+    assets = procedural_car_assets(num_azi=4, num_ele=1, variants=1)
+    r = CarRenderer(spec.size[0], spec.size[1], classes, pool=assets)
+    bg = procedural_backgrounds(jax.random.PRNGKey(5), 2,
+                                spec.size[0], spec.size[1])
+    frames, labels = jax.jit(
+        lambda kk, b: r.render(kk, b, render_rate=1.0, num_obj=2))(
+            jax.random.PRNGKey(6), bg)
+    assert labels.shape[1] == 2          # two objects per scene
+
+    pipe = JointPipeline(joint_task, ocr_task, topk=4)
+    res = pipe.jit()(jv, ov, frames)
+    C = len(classes)
+    assert res.car.shape == (2, 4, 6 + C)
+    car = np.asarray(res.car)
+    # rows are [score, l, t, r, b, azi, logits...]: scores are sigmoids
+    # (suppressed rows zeroed), azimuth slot is a finite angle
+    assert ((car[..., 0] >= 0.0) & (car[..., 0] <= 1.0)).all()
+    assert (np.abs(car[..., 5]) <= np.pi + 1e-5).all()
+    # the LP/OCR legs keep their single-plate shapes
+    assert res.lp.shape == (2, 7)
+    assert res.ocr_cls.shape == (2, 24)

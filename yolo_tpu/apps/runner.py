@@ -187,9 +187,11 @@ def run_export(kind: str, spec: Spec, args):
         ocr_spec = builtin_spec("ocr_v1")
         ocr_task = make_task("ocr", ocr_spec, dtype=trainer.task.dtype)
         ov = ocr_task.init_variables(jax.random.PRNGKey(0))
-        pipe = JointPipeline(trainer.task, ocr_task)
+        topk = int(getattr(args, "topk", 0) or 0)
+        pipe = JointPipeline(trainer.task, ocr_task, topk=topk)
         export_model(lambda v, f: pipe(v, ov, f), (frames,), variables,
-                     export_dir, meta={"kind": kind})
+                     export_dir,
+                     meta={"kind": kind, "topk": topk})
     elif kind == "lp":
         ocr_spec = builtin_spec("ocr_v1")
         ocr_task = make_task("ocr", ocr_spec, dtype=trainer.task.dtype)

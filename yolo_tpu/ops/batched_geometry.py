@@ -96,7 +96,8 @@ def unwarp_plates_matmul(images, corners, out_hw: Tuple[int, int],
     """
     B, H, W, C = images.shape
     oh, ow = out_hw
-    wh, ww = window_hw
+    # window cannot exceed the image (dynamic_slice sizes are static)
+    wh, ww = min(window_hw[0], H), min(window_hw[1], W)
     dtype = images.dtype
 
     # ---- window crop around the quad bbox ----

@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from yolo_tpu.decode import (cls2ang, decode_car, decode_car_pallas,
-                             decode_lp, decode_lp_pallas, decode_ocr,
-                             make_angle_offsets)
+                             decode_car_topk, decode_lp, decode_lp_pallas,
+                             decode_ocr, make_angle_offsets)
 from yolo_tpu.ops.boxes import make_grid_tables
 from yolo_tpu.ops.batched_geometry import (project_corners_batched,
                                            unwarp_plates_batched,
@@ -55,7 +55,8 @@ class ALPRResult(NamedTuple):
 
 
 class JointResult(NamedTuple):
-    car: jnp.ndarray        # (B, 6+C) [score, y, x, h, w, azi, logits...]
+    car: jnp.ndarray        # (B, 6+C) [score, l, t, r, b, azi, logits...]
+                            # (B, topk, 6+C) when the pipeline has topk>0
     lp: jnp.ndarray
     corners: jnp.ndarray
     crops: jnp.ndarray
@@ -134,13 +135,19 @@ class JointPipeline:
     def __init__(self, joint_task, ocr_task,
                  camera: CameraIntrinsics = CameraIntrinsics(),
                  unwarp_sample_hw=(64, 160), warp_impl: str = "gather",
-                 decode_impl: str = "xla"):
+                 decode_impl: str = "xla", topk: int = 0,
+                 nms_iou: float = 0.45):
         self.joint_task = joint_task
         self.ocr_task = ocr_task
         self.spec = joint_task.spec
         self.projector = PlateProjector(camera=camera)
         self.unwarp_sample_hw = unwarp_sample_hw
         self.warp_impl = warp_impl
+        # topk > 0: multi-object serving — JointResult.car becomes
+        # (B, topk, 6+C) NMS-kept rows instead of the reference-parity
+        # argmax (B, 6+C) (car/YOLO.py:584 takes one box per image)
+        self.topk = int(topk)
+        self.nms_iou = nms_iou
         self._decode_lp = (decode_lp_pallas if decode_impl == "pallas"
                            else decode_lp)
         self._decode_car = (decode_car_pallas if decode_impl == "pallas"
@@ -156,11 +163,18 @@ class JointPipeline:
         car_out, lp_map = self.joint_task.apply_eval(joint_variables, images)
         car_out = [o.astype(jnp.float32) for o in car_out]
 
-        car = self._decode_car(car_out, self.grids, spec.slice_point,
-                               spec.size)
-        # slot 5 <- circular-expectation azimuth (video_node.py:245-251)
-        azi, _rad = cls2ang(car[:, 0], car[:, 6:], self.cos_off, self.sin_off)
-        car = car.at[:, 5].set(azi)
+        if self.topk:
+            car = decode_car_topk(car_out, self.grids, spec.slice_point,
+                                  spec.size, k=self.topk,
+                                  iou_thresh=self.nms_iou)   # (B, k, 6+C)
+        else:
+            car = self._decode_car(car_out, self.grids, spec.slice_point,
+                                   spec.size)                # (B, 6+C)
+        # slot 5 <- circular-expectation azimuth (video_node.py:245-251);
+        # cls2ang broadcasts over leading dims, so this covers both shapes
+        azi, _rad = cls2ang(car[..., 0], car[..., 6:],
+                            self.cos_off, self.sin_off)
+        car = car.at[..., 5].set(azi)
 
         lp_pred = self._decode_lp(lp_map.astype(jnp.float32), spec.LP_r_max)
 
