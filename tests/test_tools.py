@@ -244,3 +244,31 @@ def test_offboard_keyboard_and_land():
     assert sm.service_requests(99.0, "OFFBOARD", True) == \
         [("set_mode", "MANUAL"), ("arm", False)]
     assert sm.setpoint == [0.0, 0.0, 0.8]
+
+
+def test_profiler_survives_stage_failure(tmp_path, monkeypatch):
+    """A crashing stage must not erase the whole profile artifact
+    (round-2 lost its on-chip profile exactly this way)."""
+    import json
+
+    import yolo_tpu.pipeline as pipeline_mod
+    from yolo_tpu.tools import profile_pipeline as pp
+
+    def boom(fn, args, iters, probe):
+        raise RuntimeError("synthetic stage failure")
+
+    monkeypatch.setattr(pp, "timeit", boom)
+
+    def no_call(self, *a, **k):
+        raise RuntimeError("cost analysis disabled in test")
+
+    monkeypatch.setattr(pipeline_mod.JointPipeline, "__call__", no_call)
+    out = tmp_path / "prof.json"
+    rows = pp.main(["--batch", "1", "--iters", "1", "--size", "64",
+                    "--out", str(out)])
+    data = json.loads(out.read_text())
+    assert rows == {} and data["ms"] == {}
+    assert len(data["errors"]) >= 7          # every stage recorded
+    assert all("synthetic stage failure" in v
+               for k, v in data["errors"].items() if k != "trace")
+    assert data["partial"] is False          # main() ran to completion

@@ -61,6 +61,28 @@ def main(argv=None):
     B, S = args.batch, args.size
     iters = args.iters
 
+    rows = {}
+    errors = {}
+
+    def flush():
+        # write after every stage: a crashed or killed later stage must
+        # not erase the evidence already measured (the round-2 failure
+        # mode was exactly an all-or-nothing artifact)
+        if args.out:
+            line = {"backend": backend, "batch": B, "size": S,
+                    "ms": rows, "errors": errors or None,
+                    "partial": True}
+            with open(args.out, "w") as f:
+                json.dump(line, f, indent=2)
+
+    def stage(name, fn, fargs, probe):
+        try:
+            rows[name] = timeit(fn, fargs, iters, probe)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"stage {name} FAILED: {errors[name]}")
+        flush()
+
     spec = builtin_spec("carlp_v1").replace(size=[S, S])
     ocr_spec = builtin_spec("ocr_v1")
     joint_task = make_task("carlp", spec, dtype=dtype)
@@ -70,17 +92,14 @@ def main(argv=None):
     ov = ocr_task.init_variables(key)
     frames = jax.random.uniform(key, (B, S, S, 3), jnp.float32)
 
-    rows = {}
-
     # NOTE: variables are always jit ARGUMENTS, never closure constants —
     # constant-folded weights blow up the serialized module past the
     # remote-compile transport limit (HTTP 413) and disable donation.
 
     # ---- stage 1: joint network forward ----
     fwd = jax.jit(lambda v, f: joint_task.apply_eval(v, f))
-    rows["joint_forward"] = timeit(
-        fwd, (jv, frames), iters,
-        lambda r: r[1].astype(jnp.float32)[0, 0, 0, 0])
+    stage("joint_forward", fwd, (jv, frames),
+          lambda r: r[1].astype(jnp.float32)[0, 0, 0, 0])
 
     # ---- stage 2: + decode (both impls) ----
     from yolo_tpu.ops.boxes import make_grid_tables
@@ -98,12 +117,11 @@ def main(argv=None):
             return car, lp
         return jax.jit(f)
 
-    rows["fwd+decode_xla"] = timeit(
-        with_decode(decode_car, decode_lp), (jv, frames), iters,
-        lambda r: r[0][0, 0])
-    rows["fwd+decode_pallas"] = timeit(
-        with_decode(decode_car_pallas, decode_lp_pallas), (jv, frames),
-        iters, lambda r: r[0][0, 0])
+    stage("fwd+decode_xla", with_decode(decode_car, decode_lp),
+          (jv, frames), lambda r: r[0][0, 0])
+    stage("fwd+decode_pallas",
+          with_decode(decode_car_pallas, decode_lp_pallas), (jv, frames),
+          lambda r: r[0][0, 0])
 
     # ---- stage 3: unwarp impls in isolation ----
     poses = jnp.tile(jnp.asarray([[0., 0., 2500., .2, .3, .1]]), (B, 1))
@@ -120,15 +138,14 @@ def main(argv=None):
         else:
             f = jax.jit(lambda im, c, hw=hw: unwarp_plates_matmul(
                 im, c, hw))
-        rows[name] = timeit(f, (img16, corners), iters,
-                            lambda r: r.astype(jnp.float32)[0, 0, 0, 0])
+        stage(name, f, (img16, corners),
+              lambda r: r.astype(jnp.float32)[0, 0, 0, 0])
 
     # ---- stage 4: OCR forward on crops ----
     crops = jax.random.uniform(key, (B, 160, 384, 3), jnp.float32)
     ocr_fwd = jax.jit(lambda v, c: ocr_task.apply_eval(v, c))
-    rows["ocr_forward"] = timeit(
-        ocr_fwd, (ov, crops), iters,
-        lambda r: r[0].astype(jnp.float32)[0, 0, 0, 0])
+    stage("ocr_forward", ocr_fwd, (ov, crops),
+          lambda r: r[0].astype(jnp.float32)[0, 0, 0, 0])
 
     # ---- full pipelines ----
     for name, kw in (
@@ -137,8 +154,7 @@ def main(argv=None):
              dict(unwarp_sample_hw=(64, 160), decode_impl="pallas"))):
         pipe = JointPipeline(joint_task, ocr_task, **kw)
         f = pipe.jit()
-        rows[name] = timeit(f, (jv, ov, frames), iters,
-                            lambda r: r.car[0, 0])
+        stage(name, f, (jv, ov, frames), lambda r: r.car[0, 0])
 
     # ---- MFU for the headline point (v5e bf16 peak = 197 TFLOP/s) ----
     mfu = None
@@ -159,15 +175,19 @@ def main(argv=None):
         print(f"cost_analysis unavailable: {e!r}")
 
     if args.trace:
-        pipe = JointPipeline(joint_task, ocr_task,
-                             unwarp_sample_hw=(64, 160))
-        f = pipe.jit()
-        r = f(jv, ov, frames)
-        float(r.car[0, 0])
-        with jax.profiler.trace(args.trace):
-            for _ in range(5):
-                r = f(jv, ov, frames)
+        try:
+            pipe = JointPipeline(joint_task, ocr_task,
+                                 unwarp_sample_hw=(64, 160))
+            f = pipe.jit()
+            r = f(jv, ov, frames)
             float(r.car[0, 0])
+            with jax.profiler.trace(args.trace):
+                for _ in range(5):
+                    r = f(jv, ov, frames)
+                float(r.car[0, 0])
+        except Exception as e:
+            errors["trace"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"trace FAILED: {errors['trace']}")
 
     print(f"\n| stage | ms/iter (B={B}, {S}x{S}, {backend}) | fps |")
     print("|---|---|---|")
@@ -177,7 +197,8 @@ def main(argv=None):
         print(f"| MFU (full pipeline, {backend} bf16 peak) | "
               f"{mfu * 100:.1f}% | |")
     line = {"backend": backend, "batch": B, "size": S, "ms": rows,
-            "mfu_full_pipeline": mfu}
+            "mfu_full_pipeline": mfu, "errors": errors or None,
+            "partial": False}
     print(json.dumps(line))
     if args.out:
         with open(args.out, "w") as f:
