@@ -96,9 +96,28 @@ def main():
     iters = 50 if on_tpu else 3
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    # flagship operating point: full carlp_v1 topology at 448x448
-    # (416 frames stride-64 letterboxed on device)
-    spec = builtin_spec("carlp_v1").replace(size=[448, 448])
+    # flagship operating point: full carlp topology at 448x448
+    # (416 frames stride-64 letterboxed on device). The spec must come
+    # from the SAME place as the weights — carlp_v3 is trained on refit
+    # anchors, and decoding its weights with the builtin v1 anchor
+    # tables yields wrong boxes (timing would be identical, but the
+    # benched program must be the real deployable artifact).
+    joint_dir = next((d for d in ("trained/carlp_v3", "trained/carlp_v2",
+                                  "trained/carlp_v1")
+                      if os.path.isdir(d)), None)
+    spec, spec_src = None, "builtin carlp_v1"
+    if joint_dir is not None:
+        from yolo_tpu.config import load_spec
+        name = os.path.basename(joint_dir)
+        for spec_path in (os.path.join(joint_dir, "spec.yaml"),
+                          os.path.join("runs", name, "spec.yaml")):
+            if os.path.isfile(spec_path):
+                spec, spec_src = load_spec(spec_path), spec_path
+                break
+    if spec is None:
+        spec = builtin_spec("carlp_v1")
+    print(f"# bench spec: {spec_src}", file=sys.stderr)
+    spec = spec.replace(size=[448, 448])
     ocr_spec = builtin_spec("ocr_v1")
 
     joint_task = make_task("carlp", spec, dtype=dtype)
@@ -126,14 +145,10 @@ def main():
                   file=sys.stderr)
             weight_provenance[slot] = f"random-init (restore failed: {path})"
             return variables
-    import os as _os
-    for joint_dir in ("trained/carlp_v3", "trained/carlp_v2",
-                      "trained/carlp_v1"):
-        if _os.path.isdir(joint_dir):
-            jv = try_restore(jv, joint_dir, "joint")
-            break
+    if joint_dir is not None:
+        jv = try_restore(jv, joint_dir, "joint")
     for ocr_dir in ("trained/ocr_v2", "trained/ocr_v1_cascade"):
-        if _os.path.isdir(ocr_dir):
+        if os.path.isdir(ocr_dir):
             ov = try_restore(ov, ocr_dir, "ocr")
             break
     print(f"# bench weights: {weight_provenance}", file=sys.stderr)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import threading
@@ -51,6 +52,11 @@ def main() -> int:
 
     os.makedirs("reports/logs", exist_ok=True)
     log_path = f"reports/logs/{args.name}.log"
+    if args.artifact and args.check and os.path.exists(args.artifact):
+        # quarantine the previous run's artifact: a --check step that
+        # crashes before writing must not let the old file pass the
+        # end-of-queue manifest as this run's evidence
+        os.replace(args.artifact, args.artifact + ".prev")
     t0 = time.time()
     print(f"[run_step:{args.name}] RUN {' '.join(cmd)}", flush=True)
     out_lines: list[str] = []
@@ -59,19 +65,30 @@ def main() -> int:
         log.write(f"# cmd: {' '.join(cmd)}\n# start: {time.ctime()}\n")
         log.flush()
         try:
+            # start_new_session: the deadline must kill the WHOLE process
+            # group — watchdog_train's trainer child inherits our stdout
+            # pipe, and killing only the direct child leaves the orphaned
+            # grandchild holding the pipe open, blocking the read loop
+            # until IT exits (reproduced: a wedged trainer defeated the
+            # 900 s deadline by 40 min)
             proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                    stderr=subprocess.STDOUT, text=True)
+                                    stderr=subprocess.STDOUT, text=True,
+                                    start_new_session=True)
             # hard deadline on a timer thread: a child that blocks with NO
             # output (the wedged-TPU-claim failure mode) would otherwise
-            # hang the `for line in stdout` loop forever — round-3
-            # post-mortem: a silent bench hang stalled the queue 40 min
-            # past its 900 s timeout
+            # hang the `for line in stdout` loop forever
             timed_out = threading.Event()
+
+            def _kill_group():
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
 
             def _kill_on_deadline():
                 if proc.poll() is None:
                     timed_out.set()
-                    proc.kill()
+                    _kill_group()
 
             killer = threading.Timer(args.timeout, _kill_on_deadline)
             killer.daemon = True
@@ -88,7 +105,7 @@ def main() -> int:
                           f"timeout\n")
                 rc = -9
         except subprocess.TimeoutExpired:
-            proc.kill()
+            _kill_group()
             rc = -9
         except Exception as e:  # noqa: BLE001 — a runner must not crash
             log.write(f"\n# runner exception: {e!r}\n")

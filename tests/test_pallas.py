@@ -24,6 +24,20 @@ def test_best_cell_decode_tie_breaks_to_first():
     assert int(idx[0]) == 3
 
 
+def test_best_cell_decode_ignores_nonfinite_losers():
+    """inf/NaN in a LOSING row must not corrupt the winner's columns
+    (0 * inf = NaN under a multiplicative one-hot mask)."""
+    merged = (jnp.ones((1, 16, 8))
+              .at[0, 3, 0].set(5.0)            # winner: row 3
+              .at[0, 9, 2].set(jnp.inf)        # overflowed losing row
+              .at[0, 11, 4].set(jnp.nan))
+    rows, idx = best_cell_decode(merged, interpret=True)
+    assert int(idx[0]) == 3
+    assert np.all(np.isfinite(np.asarray(rows)))
+    np.testing.assert_allclose(
+        np.asarray(rows[0]), np.asarray(merged[0, 3]), atol=1e-6)
+
+
 def test_best_cell_decode_under_jit():
     merged = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 16))
     f = jax.jit(lambda m: best_cell_decode(m, interpret=True))

@@ -83,3 +83,30 @@ def test_check_accepts_valid_artifact(tmp_path):
              sys.executable, "-c",
              f"import json; json.dump({{'a': 1}}, open({str(art)!r}, 'w'))")
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_grandchild_holding_pipe_killed_at_deadline(tmp_path):
+    """The deadline must kill the whole process GROUP: a grandchild that
+    inherits the stdout pipe (watchdog_train's trainer) would otherwise
+    keep the read loop blocked long after the direct child died."""
+    t0 = time.time()
+    r = _run(tmp_path, "--name", "grand", "--timeout", "3", "--",
+             "bash", "-c", "(sleep 300; echo late) & sleep 300")
+    elapsed = time.time() - t0
+    assert r.returncode == 1
+    assert "FAILED" in r.stdout
+    assert elapsed < 30, f"group kill did not fire: {elapsed:.0f}s"
+
+
+def test_check_failure_quarantines_stale_artifact(tmp_path):
+    """A failed --check step must not leave the PREVIOUS run's artifact
+    in place for the end-of-queue manifest to validate as fresh."""
+    art = tmp_path / "self.json"
+    art.write_text('{"stale": true}')
+    r = _run(tmp_path, "--name", "stale", "--timeout", "60",
+             "--artifact", str(art), "--check", "--",
+             sys.executable, "-c", "raise SystemExit(1)")
+    assert r.returncode == 1
+    assert not art.exists()
+    assert json.loads((tmp_path / "self.json.prev").read_text()) == \
+        {"stale": True}

@@ -31,10 +31,12 @@ def _kernel(in_ref, row_ref, idx_ref):
     # sequential grid (Mosaic rejects (1, 1) sub-blocks); each grid step
     # writes its own row
     idx_ref[pl.program_id(0), 0] = idx
-    # row extraction as one-hot mask + sum — Mosaic has no dynamic_slice
-    # lowering, and with exactly one matching row the sum is exact
-    onehot = (rows == idx).astype(x.dtype)          # (R, 1)
-    row_ref[0] = jnp.sum(x * onehot, axis=0, keepdims=True)
+    # row extraction as select + sum — Mosaic has no dynamic_slice
+    # lowering, and with exactly one matching row the sum is exact.
+    # where (not multiply): 0 * inf = NaN would let a single overflowed
+    # value in a LOSING row corrupt the winner's column
+    row_ref[0] = jnp.sum(jnp.where(rows == idx, x, jnp.zeros_like(x)),
+                         axis=0, keepdims=True)
 
 
 def best_cell_decode(merged, interpret=None):

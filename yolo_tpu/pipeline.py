@@ -55,8 +55,10 @@ class ALPRResult(NamedTuple):
 
 
 class JointResult(NamedTuple):
-    car: jnp.ndarray        # (B, 6+C) [score, l, t, r, b, azi, logits...]
-                            # (B, topk, 6+C) when the pipeline has topk>0
+    car: jnp.ndarray        # (B, 6+C) [score, y, x, h, w, azi, logits...]
+                            # (yxhw, decode_car semantics; decode.py:42).
+                            # (B, topk, 6+C) LTRB when the pipeline has
+                            # topk>0 (decode_car_topk / nms_topk)
     lp: jnp.ndarray
     corners: jnp.ndarray
     crops: jnp.ndarray

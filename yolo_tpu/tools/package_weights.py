@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 
 from yolo_tpu.train.checkpoint import restore_tree, save_checkpoint
@@ -32,8 +33,18 @@ def main(argv=None):
     if args.force:
         shutil.rmtree(args.dst, ignore_errors=True)
     save_checkpoint(args.dst, snapshot, step=0, keep=1)
+    # ship the run's spec next to the weights: anchors/sizes are part of
+    # the artifact — decoding refit-anchor weights with a builtin spec
+    # produces wrong boxes (the reference's export bundles spec.yaml too,
+    # /root/reference/car/YOLO.py export path)
+    spec_src = os.path.join(os.path.dirname(args.src.rstrip("/")),
+                            "spec.yaml")
+    spec_copied = False
+    if os.path.isfile(spec_src):
+        shutil.copy(spec_src, os.path.join(args.dst, "spec.yaml"))
+        spec_copied = True
     print(json.dumps({"src": args.src, "dst": args.dst,
-                      "source_step": step}))
+                      "source_step": step, "spec_copied": spec_copied}))
 
 
 if __name__ == "__main__":
