@@ -344,3 +344,28 @@ def test_decode_car_topk_nms():
             iou = float(iou_pairwise(jnp.asarray(kept[i, 1:5]),
                                      jnp.asarray(kept[j, 1:5])))
             assert iou <= thresh + 1e-6, (i, j, iou)
+
+
+def test_plate_to_scene_roundtrip():
+    """plate_to_scene_coords is the exact forward of
+    scene_to_plate_coords: mapping plate fractions out and back is the
+    identity for a generic (projective) quad."""
+    from yolo_tpu.ops.batched_geometry import (plate_to_scene_coords,
+                                               scene_to_plate_coords)
+    # [rb, lb, lt, rt] order, a non-affine quad
+    corners = jnp.asarray([[[300., 250.], [60., 240.],
+                            [80., 100.], [320., 90.]],
+                           [[200., 200.], [100., 210.],
+                            [105., 150.], [190., 140.]]])
+    u = jnp.asarray([[0.0, 0.25, 0.5, 0.9], [0.1, 0.4, 0.6, 1.0]])
+    v = jnp.asarray([[0.0, 0.5, 0.5, 1.0], [0.5, 0.2, 0.8, 0.5]])
+    sx, sy = plate_to_scene_coords(corners, u, v)
+    ub, vb = scene_to_plate_coords(corners, sx, sy, (1, 1))
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(v), atol=1e-4)
+    # corner check: (u,v)=(0,0) is lt, (1,1) is rb
+    sx0, sy0 = plate_to_scene_coords(corners, jnp.zeros((2, 1)),
+                                     jnp.zeros((2, 1)))
+    np.testing.assert_allclose(
+        np.stack([sx0[:, 0], sy0[:, 0]], -1), np.asarray(corners[:, 2]),
+        atol=1e-4)

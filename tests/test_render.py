@@ -208,7 +208,9 @@ def test_plate_projection_lands_at_label_centre():
 
 def test_render_cascade_crops():
     """Cascade-matched OCR data: crops must look like (imperfectly
-    rectified) plates and labels must align with the canonical spans."""
+    rectified) plates; labels track the DISPLACED glyphs, not the
+    canonical slots (the unwarp rectifies the noisy pose, so the
+    true-pose glyphs land shifted in the crop)."""
     r = LPRenderer(320, 512)
     bg = procedural_backgrounds(jax.random.PRNGKey(20), 2, 320, 512)
     crops, labels = r.render_cascade(jax.random.PRNGKey(21), bg,
@@ -221,7 +223,24 @@ def test_render_cascade_crops():
     assert c.min() < 0.45
     lab = np.asarray(labels)
     assert (lab[..., 0] >= 0).all()
-    np.testing.assert_allclose(lab[0, 0, 1], SLOT_X[0] / PLATE_W, atol=1e-5)
+    # noisy pose -> spans must deviate from the canonical slots
+    canon = np.asarray(r.char_spans(jnp.zeros((2, 7), jnp.int32)))
+    assert np.abs(lab[..., 1:] - canon[..., 1:]).max() > 0.01
+    # spans keep left < right and plausible glyph widths
+    w = lab[..., 2] - lab[..., 1]
+    assert (w > 0).all() and w.max() < 0.5
+
+
+def test_render_cascade_zero_noise_labels_canonical():
+    """pose_noise=0: the remapping is exactly the identity, so labels
+    must equal the canonical plate-fraction spans."""
+    r = LPRenderer(320, 512)
+    bg = procedural_backgrounds(jax.random.PRNGKey(30), 2, 320, 512)
+    _, labels = r.render_cascade(jax.random.PRNGKey(31), bg,
+                                 (30., 30., 30.), pose_noise=0.0)
+    canon = np.asarray(r.char_spans(jnp.zeros((2, 7), jnp.int32)))
+    np.testing.assert_allclose(np.asarray(labels)[..., 1:],
+                               canon[..., 1:], atol=1e-4)
 
 
 def test_render_cascade_zero_noise_matches_truth_unwarp():

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolo_tpu.ops.boxes import GridTables, merge_and_slice, yxhw_to_ltrb
+from yolo_tpu.ops.boxes import (GridTables, ltrb_to_yxhw, merge_and_slice,
+                                yxhw_to_ltrb)
 from yolo_tpu.ops.math import sigmoid
 
 
@@ -53,8 +54,7 @@ def decode_car(outputs, grids: GridTables, slice_point: Sequence[int],
     best = jnp.argmax(flat_score, axis=-1)             # (B,)
     flat = full.reshape(B, -1, full.shape[-1])
     pred = jnp.take_along_axis(flat, best[:, None, None], axis=1)[:, 0]
-    l, t, r, b = pred[:, 1], pred[:, 2], pred[:, 3], pred[:, 4]
-    yxhw = jnp.stack([(t + b) / 2, (l + r) / 2, b - t, r - l], -1)
+    yxhw = ltrb_to_yxhw(pred[:, 1:5])
     return jnp.concatenate([pred[:, :1], yxhw, pred[:, 5:]], -1)
 
 
@@ -218,10 +218,9 @@ def decode_ocr(score_logits, class_logits, threshold: float = 0.6) -> OCRDecoded
                       peak_cls=jnp.where(is_peak, cls, -1).astype(jnp.int32))
 
 
-OCR_CLASS_NAMES = ['0', '1', '2', '3', '4', '5', '6', '7', '8', '9',
-                   'A', 'B', 'C', 'D', 'E', 'F', 'G', 'H',
-                   'J', 'K', 'L', 'M', 'N', 'P', 'Q', 'R',
-                   'S', 'T', 'U', 'V', 'W', 'X', 'Y', 'Z']
+# single source of truth: the decoded text alphabet IS the glyph-atlas
+# class list the OCR model trains on
+from yolo_tpu.render.fonts import CLASS_NAMES as OCR_CLASS_NAMES
 
 _ALPHA = set(OCR_CLASS_NAMES[10:])
 _NUM = set('012356789')

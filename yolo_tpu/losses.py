@@ -35,8 +35,11 @@ def logistic_loss(pred, label, weight=None):
 
 
 def huber_loss(pred, label, weight=None, rho: float = 1.0):
+    """gluon HuberLoss semantics exactly: (0.5/rho)*err^2 inside the
+    quadratic zone, err - 0.5*rho outside — so reference spec loss
+    scales transfer for ANY rho, not just the default 1."""
     err = jnp.abs(pred - label)
-    loss = jnp.where(err < rho, 0.5 * err * err, rho * (err - 0.5 * rho))
+    loss = jnp.where(err < rho, (0.5 / rho) * err * err, err - 0.5 * rho)
     return _reduce(loss, weight)
 
 

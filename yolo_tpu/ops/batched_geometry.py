@@ -148,12 +148,15 @@ def unwarp_plates_matmul(images, corners, out_hw: Tuple[int, int],
         0.0, 1.0 - jnp.abs(ys[..., None] - rows)).astype(dtype)
     out = jnp.einsum("bijy,byjk->bijk", w2, mid)
 
-    # validity in FULL image coords (windowing must not change semantics)
-    xs_full = (bc(a) * un2 + bc(b) * vn2 + bc(c)) / den2 + \
-        bc(off[:, 0, 0])
-    ys_full = ys + bc(off[:, 0, 1])
-    valid = ((xs_full >= -0.5) & (xs_full <= W - 0.5) &
-             (ys_full >= -0.5) & (ys_full <= H - 0.5))[..., None]
+    # validity in WINDOW coords: a sample outside the crop window has
+    # all-zero interpolation weights (garbage 0s), so it must be filled
+    # even when it lies inside the full image — a quad wider than the
+    # window (very near plate) or far off-centre gets explicit `fill`
+    # instead of silently-black columns flagged valid. The window is
+    # always fully inside the image, so in-window implies in-image.
+    xs2 = (bc(a) * un2 + bc(b) * vn2 + bc(c)) / den2
+    valid = ((xs2 >= -0.5) & (xs2 <= ww - 0.5) &
+             (ys >= -0.5) & (ys <= wh - 0.5))[..., None]
     return jnp.where(valid, out, fill).astype(dtype)
 
 
@@ -171,6 +174,28 @@ def inv3x3_batched(a, b, c, d, e, f, g, h, i):
     H_ = b * g - a * h
     I_ = a * e - b * d
     return A, B_, C, D, E, F, G, H_, I_
+
+
+def plate_to_scene_coords(corners_scene, pts_u, pts_v):
+    """Map plate-fraction points through the plate homography to scene px
+    (forward counterpart of scene_to_plate_coords).
+
+    corners_scene: (B, 4, 2) plate quad [rb, lb, lt, rt] in scene px.
+    pts_u/pts_v: (B, K) fractions — u rightward across the plate width,
+    v downward. Returns scene-px (B, K) x, y.
+    """
+    quad = jnp.stack([corners_scene[:, 2], corners_scene[:, 3],
+                      corners_scene[:, 0], corners_scene[:, 1]], axis=1)
+    a, b, c, d, e, f, g, h, one = _unit_to_quad_batched(quad)
+
+    def bc(t):
+        return t[:, None]
+
+    w = bc(g) * pts_u + bc(h) * pts_v + bc(one)
+    w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    x = (bc(a) * pts_u + bc(b) * pts_v + bc(c)) / w
+    y = (bc(d) * pts_u + bc(e) * pts_v + bc(f)) / w
+    return x, y
 
 
 def scene_to_plate_coords(corners_scene, pts_x, pts_y,

@@ -77,6 +77,8 @@ class CarAssetPool(NamedTuple):
                 view.append([ele, azi])
                 if len(rgba) >= max_images:
                     break
+            if len(rgba) >= max_images:
+                break                       # stop walking, not just this dir
         if not rgba:
             return None
         return CarAssetPool.from_arrays(np.stack(rgba),

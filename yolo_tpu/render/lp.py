@@ -39,6 +39,14 @@ from yolo_tpu.render.fonts import (DOT_H, DOT_W, GLYPH_H, GLYPH_W,
 # Taiwanese type-0 plate geometry (ABC-1234): canvas 380x160, glyph row at
 # y=35, dash at y=45, slot x positions (reference __init__.py:27-29).
 PLATE_H, PLATE_W = 160, 380
+
+
+def _paste_window(scene, wrgb, wa, y0, x0):
+    """Alpha-blend one (wh, ww) RGBA window into a scene at (y0, x0)."""
+    wh_, ww_ = wrgb.shape[0], wrgb.shape[1]
+    wbg = jax.lax.dynamic_slice(scene, (y0, x0, 0), (wh_, ww_, 3))
+    blend = jnp.clip(wbg * (1 - wa) + wrgb * wa, 0.0, 1.0)
+    return jax.lax.dynamic_update_slice(scene, blend, (y0, x0, 0))
 SLOT_X = (7, 56, 106, 175, 225, 274, 324)
 DOT_X, DOT_Y = 158, 45
 GLYPH_Y = 35
@@ -235,13 +243,7 @@ class LPRenderer:
         use = (jax.random.uniform(keys[4], (B,)) < add_rate)
         alpha = alpha * use[:, None, None, None]
 
-        def paste(scene, wrgb, wa, y0, x0):
-            wh_, ww_ = wrgb.shape[0], wrgb.shape[1]
-            wbg = jax.lax.dynamic_slice(scene, (y0, x0, 0), (wh_, ww_, 3))
-            blend = jnp.clip(wbg * (1 - wa) + wrgb * wa, 0.0, 1.0)
-            return jax.lax.dynamic_update_slice(scene, blend, (y0, x0, 0))
-
-        img = jax.vmap(paste)(bg_batch, rgb, alpha, oy, ox)
+        img = jax.vmap(_paste_window)(bg_batch, rgb, alpha, oy, ox)
 
         # projected plate centre (elementwise batched)
         cam = self.projector.camera
@@ -274,7 +276,9 @@ class LPRenderer:
         The reference could not express this augmentation at all — its
         OCR only ever saw fronto-parallel synthetic strips.
         """
-        from yolo_tpu.ops.batched_geometry import (project_corners_batched,
+        from yolo_tpu.ops.batched_geometry import (plate_to_scene_coords,
+                                                   project_corners_batched,
+                                                   scene_to_plate_coords,
                                                    unwarp_plates_batched)
         B, H, W, _ = bg_batch.shape
         keys = jax.random.split(key, 7)
@@ -283,19 +287,14 @@ class LPRenderer:
         poses = jax.vmap(lambda k: self.sample_pose(k, r_max_deg))(
             jax.random.split(keys[1], B))
 
-        win, (oy, ox), _ = self._composite_windowed(bg_batch, inks, poses)
+        win, (oy, ox), corners_true = self._composite_windowed(
+            bg_batch, inks, poses)
         rgb, alpha = win[..., :3], win[..., 3:]
         rgb = random_color_jitter(keys[2], rgb, brightness=0.5,
                                   contrast=0.5, saturation=0.5, hue=0.2,
                                   noise_std=5.0 / 255.0)
 
-        def paste(scene, wrgb, wa, y0, x0):
-            wh_, ww_ = wrgb.shape[0], wrgb.shape[1]
-            wbg = jax.lax.dynamic_slice(scene, (y0, x0, 0), (wh_, ww_, 3))
-            blend = jnp.clip(wbg * (1 - wa) + wrgb * wa, 0.0, 1.0)
-            return jax.lax.dynamic_update_slice(scene, blend, (y0, x0, 0))
-
-        scenes = jax.vmap(paste)(bg_batch, rgb, alpha, oy, ox)
+        scenes = jax.vmap(_paste_window)(bg_batch, rgb, alpha, oy, ox)
 
         # perturb the pose the way an imperfect detector would
         n_xy = jax.random.normal(keys[3], (B, 2)) * 100.0 * pose_noise
@@ -310,8 +309,20 @@ class LPRenderer:
             noisy, self.projector.camera, (H, W))
         crops = unwarp_plates_batched(scenes, corners, (160, 384),
                                       sample_hw=(80, 192))
-        # canonical char spans: the unwarp maps plate width -> strip width
-        labels = self.char_spans(chars)
+        # char spans through the SAME geometry as the crop: the unwarp
+        # rectifies the NOISY quad, so the (true-pose) glyphs land
+        # displaced in the crop — canonical spans would point the OCR
+        # targets at the wrong columns (~3.3 of 24 columns at 1-sigma XY
+        # jitter). Map each span endpoint at mid-glyph height forward
+        # through the true-pose plate homography into the scene, then
+        # back through the noisy-pose rectification the unwarp applied.
+        spans = self.char_spans(chars)               # plate-frac [cls,l,r]
+        vmid = jnp.full_like(spans[..., 1], 0.5)
+        sxl, syl = plate_to_scene_coords(corners_true, spans[..., 1], vmid)
+        sxr, syr = plate_to_scene_coords(corners_true, spans[..., 2], vmid)
+        ul, _ = scene_to_plate_coords(corners, sxl, syl, (1, 1))
+        ur, _ = scene_to_plate_coords(corners, sxr, syr, (1, 1))
+        labels = jnp.stack([spans[..., 0], ul, ur], -1)
         return crops, labels
 
     # ------------------------------------------------------------------

@@ -43,7 +43,11 @@ def assign_ocr_targets(labels, area: int = 24) -> OCRTargets:
     box_cent = (cols + 0.5) / float(area)
     score = 1.0 - jnp.abs(box_cent[None, None, :] - centre[..., None]) / \
         jnp.maximum(width[..., None], 1e-6)
-    score = jnp.where(in_span, score, 0.0)               # (B, O, A)
+    # clamp at 0: a rounded span can include a column whose centre is
+    # more than one char-width out for very narrow chars, and a negative
+    # value would flow into the score target AND the class-loss sample
+    # weight (negative loss rewards wrong predictions)
+    score = jnp.where(in_span, jnp.maximum(score, 0.0), 0.0)  # (B, O, A)
 
     best = jnp.argmax(score, axis=1)                     # (B, A)
     col_score = jnp.max(score, axis=1)                   # (B, A)
