@@ -102,18 +102,25 @@ def main():
     # anchors, and decoding its weights with the builtin v1 anchor
     # tables yields wrong boxes (timing would be identical, but the
     # benched program must be the real deployable artifact).
-    joint_dir = next((d for d in ("trained/carlp_v3", "trained/carlp_v2",
-                                  "trained/carlp_v1")
-                      if os.path.isdir(d)), None)
-    spec, spec_src = None, "builtin carlp_v1"
-    if joint_dir is not None:
-        from yolo_tpu.config import load_spec
-        name = os.path.basename(joint_dir)
-        for spec_path in (os.path.join(joint_dir, "spec.yaml"),
+    from yolo_tpu.config import load_spec
+    joint_dir, spec, spec_src = None, None, "builtin carlp_v1"
+    for d in ("trained/carlp_v3", "trained/carlp_v2", "trained/carlp_v1"):
+        if not os.path.isdir(d):
+            continue
+        name = os.path.basename(d)
+        for spec_path in (os.path.join(d, "spec.yaml"),
                           os.path.join("runs", name, "spec.yaml")):
             if os.path.isfile(spec_path):
-                spec, spec_src = load_spec(spec_path), spec_path
+                joint_dir, spec, spec_src = d, load_spec(spec_path), \
+                    spec_path
                 break
+        if joint_dir is None and name == "carlp_v1":
+            joint_dir = d       # v1 IS the builtin spec; others are not
+        if joint_dir is not None:
+            break
+        print(f"# bench: skipping {d} — no spec.yaml next to the "
+              f"weights or under runs/{name}/ (spec/weights mismatch "
+              f"would mis-decode)", file=sys.stderr)
     if spec is None:
         spec = builtin_spec("carlp_v1")
     print(f"# bench spec: {spec_src}", file=sys.stderr)
@@ -147,7 +154,8 @@ def main():
             return variables
     if joint_dir is not None:
         jv = try_restore(jv, joint_dir, "joint")
-    for ocr_dir in ("trained/ocr_v2", "trained/ocr_v1_cascade"):
+    for ocr_dir in ("trained/ocr_v3", "trained/ocr_v2",
+                    "trained/ocr_v1_cascade"):
         if os.path.isdir(ocr_dir):
             ov = try_restore(ov, ocr_dir, "ocr")
             break
@@ -184,6 +192,8 @@ def main():
         "vs_baseline": round(fps / 1000.0, 4),
         "batch": batch,
         "backend": backend,
+        "weights": weight_provenance,
+        "spec": spec_src,
     }))
 
 

@@ -52,10 +52,10 @@ def main() -> int:
 
     os.makedirs("reports/logs", exist_ok=True)
     log_path = f"reports/logs/{args.name}.log"
-    if args.artifact and args.check and os.path.exists(args.artifact):
-        # quarantine the previous run's artifact: a --check step that
-        # crashes before writing must not let the old file pass the
-        # end-of-queue manifest as this run's evidence
+    if args.artifact and os.path.exists(args.artifact):
+        # quarantine the previous run's artifact (both --check and
+        # --last-line): a step that fails must not let the old file pass
+        # the end-of-queue manifest as this run's evidence
         os.replace(args.artifact, args.artifact + ".prev")
     t0 = time.time()
     print(f"[run_step:{args.name}] RUN {' '.join(cmd)}", flush=True)

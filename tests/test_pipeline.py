@@ -154,3 +154,64 @@ def test_joint_pipeline_topk_multi_object():
     # the LP/OCR legs keep their single-plate shapes
     assert res.lp.shape == (2, 7)
     assert res.ocr_cls.shape == (2, 24)
+
+
+def test_pad_frames_downscales_larger():
+    """Frames larger than the canvas letterbox (aspect-preserving
+    downscale + pad) instead of trace-erroring."""
+    from yolo_tpu.pipeline import letterbox_geometry
+    x = jnp.ones((1, 480, 640, 3))
+    y = pad_frames_to(x, (64, 96), fill=0.0)
+    assert y.shape == (1, 64, 96, 3)
+    sh, sw, dy, dx = letterbox_geometry((480, 640), (64, 96))
+    assert sh == 64 and sw == 85          # scale = min(64/480, 96/640)
+    assert dy == 0 and dx == 5
+    # content occupies exactly the letterboxed region
+    np.testing.assert_allclose(float(jnp.sum(y)), sh * sw * 3, rtol=1e-5)
+
+
+def test_to_frame_coords_identity_and_padded():
+    from yolo_tpu.pipeline import _to_frame_coords
+    car = jnp.asarray([[0.9, 0.5, 0.5, 0.25, 0.5, 0.1, 1.0]])
+    corners = jnp.asarray([[[224., 224.], [100., 224.],
+                            [100., 100.], [224., 100.]]])
+    # identity when frame == canvas
+    c2, k2 = _to_frame_coords(car, corners, (448, 448), (448, 448), 0)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(car))
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(corners))
+    # 416 frames centre-padded onto 448: dy = dx = 16
+    c2, k2 = _to_frame_coords(car, corners, (416, 416), (448, 448), 0)
+    # canvas centre (0.5 * 448 = 224 px) -> frame px 208 -> frac 0.5
+    np.testing.assert_allclose(float(c2[0, 1]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(c2[0, 2]), 0.5, atol=1e-6)
+    # sizes scale by canvas/frame
+    np.testing.assert_allclose(float(c2[0, 3]), 0.25 * 448 / 416,
+                               atol=1e-6)
+    # corners shift by the pad offset (scale 1 when only padded)
+    np.testing.assert_allclose(np.asarray(k2[0, 0]), [208., 208.],
+                               atol=1e-5)
+    # topk LTRB rows map the same way
+    rows = jnp.asarray([[[0.9, 0.25, 0.25, 0.75, 0.75, 0.1, 1.0]]])
+    c3, _ = _to_frame_coords(rows, corners, (416, 416), (448, 448), 1)
+    np.testing.assert_allclose(float(c3[0, 0, 1]),
+                               (0.25 * 448 - 16) / 416, atol=1e-6)
+    np.testing.assert_allclose(float(c3[0, 0, 4]),
+                               (0.75 * 448 - 16) / 416, atol=1e-6)
+
+
+def test_video_node_respects_max_batches():
+    """Sinks must receive exactly max_batches batches (the drain used to
+    deliver one extra in-flight batch)."""
+    from yolo_tpu.serve.video import VideoNode
+
+    class ArraySource:
+        def __iter__(self):
+            for i in range(8):
+                yield np.full((8, 8, 3), i / 8.0, np.float32)
+
+    seen = []
+    node = VideoNode(jax.jit(lambda f: jnp.mean(f)), batch=1,
+                     sinks=[lambda i, r, f: seen.append(i)])
+    stats = node.run(ArraySource(), max_batches=3)
+    assert stats["batches"] == 3
+    assert seen == [0, 1, 2]

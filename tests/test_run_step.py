@@ -110,3 +110,16 @@ def test_check_failure_quarantines_stale_artifact(tmp_path):
     assert not art.exists()
     assert json.loads((tmp_path / "self.json.prev").read_text()) == \
         {"stale": True}
+
+
+def test_last_line_failure_quarantines_stale_artifact(tmp_path):
+    """--last-line steps get the same stale-artifact quarantine: a
+    crashed re-run must not leave round-N-1 evidence in place."""
+    art = tmp_path / "out.json"
+    art.write_text('{"stale": true}')
+    r = _run(tmp_path, "--name", "stale2", "--timeout", "60",
+             "--artifact", "out.json", "--last-line", "--",
+             sys.executable, "-c", "raise SystemExit(1)")
+    assert r.returncode == 1
+    assert not art.exists()
+    assert (tmp_path / "out.json.prev").exists()

@@ -22,6 +22,9 @@ def make_parser(prog: str, modes: List[str]) -> argparse.ArgumentParser:
     p.add_argument("mode", help="one of: " + "/".join(modes))
 
     # ---- train/valid ----
+    p.add_argument("--ocr-weight", dest="ocr_weight", default=None,
+                   help="OCR checkpoint for the cascade export/video "
+                        "paths (default: newest packaged trained/ocr_*)")
     p.add_argument("--weight", default=None,
                    help="checkpoint directory to restore (default: "
                         "<version>/backup latest)")

@@ -18,7 +18,7 @@ from yolo_tpu.decode import peaks_to_text
 from yolo_tpu.pipeline import ALPRPipeline, JointPipeline
 from yolo_tpu.render import CarAssetPool  # noqa: F401 (re-export)
 from yolo_tpu.train import make_task
-from yolo_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+from yolo_tpu.train.checkpoint import restore_checkpoint
 from yolo_tpu.train.trainer import Trainer
 from yolo_tpu.utils import viz
 from yolo_tpu.utils.colors import log
@@ -56,6 +56,34 @@ def build_trainer(kind: str, spec: Spec, args) -> Trainer:
                 params=v["params"], batch_stats=v["batch_stats"])
         log(f"restored weights from {args.weight}", "magenta")
     return trainer
+
+
+def _restore_ocr_variables(ocr_task, args=None):
+    """Best available OCR weights for the cascade export/serving paths.
+
+    Tries --ocr-weight first, then the newest packaged snapshot. Loud
+    about the outcome: exporting or serving a cascade with random OCR
+    weights produces an artifact whose plate text is garbage while the
+    car/LP heads look fine (easy to ship broken silently).
+    Returns (variables, source_dir_or_None).
+    """
+    ov = ocr_task.init_variables(jax.random.PRNGKey(0))
+    candidates = []
+    if args is not None and getattr(args, "ocr_weight", None):
+        candidates.append(args.ocr_weight)
+    candidates += ["trained/ocr_v3", "trained/ocr_v2",
+                   "trained/ocr_v1_cascade", "trained/ocr_v1"]
+    for d in candidates:
+        if not os.path.isdir(d):
+            continue
+        try:
+            v = restore_checkpoint(d, ov)
+            log(f"OCR weights: {d}", "magenta")
+            return v, d
+        except Exception as e:
+            log(f"OCR restore failed for {d}: {e!r}", "red")
+    log("OCR weights: RANDOM INIT (no checkpoint found)", "red")
+    return ov, None
 
 
 def run_train(kind: str, spec: Spec, args):
@@ -186,19 +214,21 @@ def run_export(kind: str, spec: Spec, args):
     if kind == "carlp":
         ocr_spec = builtin_spec("ocr_v1")
         ocr_task = make_task("ocr", ocr_spec, dtype=trainer.task.dtype)
-        ov = ocr_task.init_variables(jax.random.PRNGKey(0))
+        ov, ocr_src = _restore_ocr_variables(ocr_task, args)
         topk = int(getattr(args, "topk", 0) or 0)
         pipe = JointPipeline(trainer.task, ocr_task, topk=topk)
         export_model(lambda v, f: pipe(v, ov, f), (frames,), variables,
                      export_dir,
-                     meta={"kind": kind, "topk": topk})
+                     meta={"kind": kind, "topk": topk,
+                           "ocr_weights": ocr_src})
     elif kind == "lp":
         ocr_spec = builtin_spec("ocr_v1")
         ocr_task = make_task("ocr", ocr_spec, dtype=trainer.task.dtype)
-        ov = ocr_task.init_variables(jax.random.PRNGKey(0))
+        ov, ocr_src = _restore_ocr_variables(ocr_task, args)
         pipe = ALPRPipeline(trainer.task, ocr_task)
         export_model(lambda v, f: pipe(v, ov, f), (frames,), variables,
-                     export_dir, meta={"kind": kind})
+                     export_dir,
+                     meta={"kind": kind, "ocr_weights": ocr_src})
     else:
         task = trainer.task
         export_model(lambda v, f: task.apply_eval(v, f), (frames,),
@@ -218,12 +248,12 @@ def run_video(kind: str, spec: Spec, args):
     if kind in ("carlp", "lp"):
         ocr_spec = builtin_spec("ocr_v1")
         ocr_task = make_task("ocr", ocr_spec, dtype=trainer.task.dtype)
-        ocr_dir = os.path.join("ocr_v1", "backup")
-        ov = ocr_task.init_variables(jax.random.PRNGKey(0))
-        if latest_checkpoint(ocr_dir) is not None:
-            ov = restore_checkpoint(ocr_dir, ov)
-        pipe = (JointPipeline if kind == "carlp" else ALPRPipeline)(
-            trainer.task, ocr_task)
+        ov, _ = _restore_ocr_variables(ocr_task, args)
+        if kind == "carlp":
+            pipe = JointPipeline(trainer.task, ocr_task,
+                                 topk=int(getattr(args, "topk", 0) or 0))
+        else:
+            pipe = ALPRPipeline(trainer.task, ocr_task)
         raw_fn = lambda f: pipe(variables, ov, f)   # noqa: E731
         sinks.append(make_ocr_text_sink(print_valid_only=False))
     else:
@@ -246,7 +276,9 @@ def run_video(kind: str, spec: Spec, args):
 
     source = FrameSource(args.dev, tuple(spec.size),
                          clip=(args.clip_h, args.clip_w), flip=args.flip,
-                         max_frames=getattr(args, "max_frames", 64))
+                         max_frames=getattr(args, "max_frames", 64),
+                         topic=getattr(args, "topic",
+                                       "/usb_cam/image_raw"))
     n_dev = int(getattr(args, "devices", 1) or 1)
     if n_dev > 1:
         from yolo_tpu.parallel import make_mesh

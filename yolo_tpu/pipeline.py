@@ -60,25 +60,71 @@ class JointResult(NamedTuple):
                             # (B, topk, 6+C) LTRB when the pipeline has
                             # topk>0 (decode_car_topk / nms_topk)
     lp: jnp.ndarray
-    corners: jnp.ndarray
+    corners: jnp.ndarray    # (B, 4, 2) plate corners in CALLER-FRAME px
+                            # (letterbox offset/scale already undone)
     crops: jnp.ndarray
     ocr_scores: jnp.ndarray
     ocr_cls: jnp.ndarray
 
 
 def pad_frames_to(images, target_hw: Tuple[int, int], fill: float = 0.5):
-    """Centre-pad (B, h, w, 3) frames onto the network input canvas."""
+    """Letterbox (B, h, w, 3) frames onto the network input canvas:
+    centre-pad when smaller, aspect-preserving downscale + pad when
+    larger (a 480x640 stream on a 448x448 net must not trace-error)."""
     B, H, W, C = images.shape
     th, tw = target_hw
     if (H, W) == (th, tw):
         return images
-    dy, dx = (th - H) // 2, (tw - W) // 2
+    sh, sw, dy, dx = letterbox_geometry((H, W), target_hw)
+    if (sh, sw) != (H, W):
+        images = jax.image.resize(images, (B, sh, sw, C), "bilinear")
     canvas = jnp.full((B, th, tw, C), fill, images.dtype)
     return jax.lax.dynamic_update_slice(canvas, images, (0, dy, dx, 0))
 
 
+def letterbox_geometry(frame_hw, target_hw):
+    """Static letterbox placement: (content_h, content_w, dy, dx) of the
+    frame content inside the canvas. All Python ints at trace time."""
+    H, W = frame_hw
+    th, tw = target_hw
+    if H <= th and W <= tw:
+        sh, sw = H, W
+    else:
+        scale = min(th / H, tw / W)
+        sh, sw = max(1, int(round(H * scale))), max(1, int(round(W * scale)))
+    return sh, sw, (th - sh) // 2, (tw - sw) // 2
+
+
 def align_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _to_frame_coords(car, corners, frame_hw, net_hw, topk: int):
+    """Map canvas-space outputs back to the caller's frame.
+
+    Decode normalises boxes to the net canvas and corners are canvas px;
+    sinks receive the ORIGINAL (unpadded) frames, so without this every
+    consumer draws letterbox-offset boxes. Identity when frame == canvas
+    (all eval paths render at spec.size)."""
+    fh, fw = frame_hw
+    nh, nw = net_hw
+    if (fh, fw) == (nh, nw):
+        return car, corners
+    sh, sw, dy, dx = letterbox_geometry(frame_hw, net_hw)
+    # content px -> frame px is a pure scale (fh/sh); canvas px first
+    # subtracts the pad offset
+    corners = (corners - jnp.asarray([dx, dy], corners.dtype)) * \
+        jnp.asarray([fw / sw, fh / sh], corners.dtype)
+    if topk:
+        l, t, r, b = (car[..., 1], car[..., 2], car[..., 3], car[..., 4])
+        box = jnp.stack([(l * nw - dx) / sw, (t * nh - dy) / sh,
+                         (r * nw - dx) / sw, (b * nh - dy) / sh], -1)
+    else:
+        y, x, h, w = car[..., 1], car[..., 2], car[..., 3], car[..., 4]
+        box = jnp.stack([(y * nh - dy) / sh, (x * nw - dx) / sw,
+                         h * nh / sh, w * nw / sw], -1)
+    car = jnp.concatenate([car[..., :1], box, car[..., 5:]], -1)
+    return car, corners
 
 
 class ALPRPipeline:
@@ -188,6 +234,8 @@ class JointPipeline:
         score_x, class_x = self.ocr_task.apply_eval(ocr_variables, crops)
         ocr = decode_ocr(score_x.astype(jnp.float32),
                          class_x.astype(jnp.float32))
+        car, corners = _to_frame_coords(
+            car, corners, tuple(frames.shape[1:3]), net_hw, self.topk)
         return JointResult(car=car, lp=lp_pred, corners=corners, crops=crops,
                            ocr_scores=ocr.scores, ocr_cls=ocr.peak_cls)
 

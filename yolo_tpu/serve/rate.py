@@ -12,9 +12,11 @@ import jax
 
 def test_inference_rate(fn: Callable, *args, cycles: int = 100,
                         warmup: int = 10, batch: int = 1) -> float:
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(cycles):
         out = fn(*args)

@@ -55,7 +55,9 @@ class RosPublisher:
         car = getattr(result, "car", None)
         if car is not None:
             msg = self._Float32MultiArray()
-            msg.data = [float(v) for v in np.asarray(car[0])]
+            # flat row-major; (topk, 6+C) multi-object rows publish as
+            # topk consecutive boxes on the same topic
+            msg.data = [float(v) for v in np.asarray(car[0]).reshape(-1)]
             self._box.publish(msg)
         lp = getattr(result, "lp", None)
         if lp is not None:

@@ -33,12 +33,14 @@ class FrameSource:
 
     def __init__(self, dev: str = "synthetic", size_hw: Tuple[int, int] = (320, 512),
                  clip: Tuple[float, float] = (1.0, 1.0), flip: int = 3,
-                 max_frames: Optional[int] = None):
+                 max_frames: Optional[int] = None,
+                 topic: str = "/usb_cam/image_raw"):
         self.dev = dev
         self.size_hw = size_hw
         self.clip = clip
         self.flip = flip
         self.max_frames = max_frames
+        self.topic = topic
 
     def __iter__(self) -> Iterator[np.ndarray]:
         h, w = self.size_hw
@@ -57,6 +59,50 @@ class FrameSource:
                                            add_rate=0.9)
                 yield np.asarray(imgs[0])
                 count += 1
+            return
+
+        if self.dev == "ros":
+            # subscribe to the image topic (reference video nodes read
+            # /usb_cam/image_raw, car/video_node.py). Fails loudly when
+            # no ROS runtime exists — falling through to cv2 used to
+            # open VideoCapture('ros') and silently yield zero frames.
+            from yolo_tpu.serve.ros_bridge import ros_available
+            if not ros_available():
+                raise RuntimeError(
+                    "--dev ros requires a ROS runtime (rospy not found); "
+                    "use --dev synthetic / a video path / ppm:<fifo>")
+            import queue as _queue
+
+            import cv2
+            import rospy
+            from cv_bridge import CvBridge
+            from sensor_msgs.msg import Image as ImageMsg
+            bridge = CvBridge()
+            q: "_queue.Queue[np.ndarray]" = _queue.Queue(maxsize=4)
+
+            def _cb(msg):
+                try:
+                    q.put_nowait(bridge.imgmsg_to_cv2(msg, "rgb8"))
+                except _queue.Full:
+                    pass                      # drop frames when behind
+
+            if not rospy.core.is_initialized():
+                rospy.init_node("yolo_tpu_video", anonymous=True)
+            sub = rospy.Subscriber(self.topic, ImageMsg, _cb,
+                                   queue_size=1)
+            try:
+                while self.max_frames is None or count < self.max_frames:
+                    try:
+                        img = q.get(timeout=5.0)
+                    except _queue.Empty:
+                        if rospy.is_shutdown():
+                            return
+                        continue
+                    img = cv2.resize(img, (w, h))
+                    yield self._pre(img.astype(np.float32) / 255.0)
+                    count += 1
+            finally:
+                sub.unregister()
             return
 
         if self.dev.startswith(("ppm:", "raw:")):
@@ -142,7 +188,9 @@ class VideoNode:
                 self._drain(*pending)
                 processed += 1
                 if max_batches and processed >= max_batches:
-                    pending = (processed, result, frames)
+                    # budget reached: drop the just-dispatched batch
+                    # instead of handing sinks max_batches+1 results
+                    pending = None
                     break
             pending = (processed, result, frames)
         if pending is not None:

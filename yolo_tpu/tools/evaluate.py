@@ -70,6 +70,30 @@ def _corner_bbox(corners: np.ndarray) -> np.ndarray:
                        corners[:, 0].max(), corners[:, 1].max()])
 
 
+def _corner_iou(tc: np.ndarray, pc: np.ndarray) -> float:
+    """Axis-aligned bbox IoU of two (4, 2) corner quads (the reference's
+    plate-pose metric; shared by the LPD/cascade/joint evals)."""
+    tb, pb = _corner_bbox(tc), _corner_bbox(pc)
+    iw = max(min(tb[2], pb[2]) - max(tb[0], pb[0]), 0)
+    ih = max(min(tb[3], pb[3]) - max(tb[1], pb[1]), 0)
+    inter = iw * ih
+    a1 = (tb[2] - tb[0]) * (tb[3] - tb[1])
+    a2 = (pb[2] - pb[0]) * (pb[3] - pb[1])
+    return inter / max(a1 + a2 - inter, 1e-9)
+
+
+def _softmax_azimuth_deg(logits: np.ndarray,
+                         azi_bins_deg: np.ndarray) -> float:
+    """Softmax circular-expectation azimuth in degrees (the numpy twin
+    of decode.cls2ang, video_node.py:245-251 semantics)."""
+    e = np.exp(logits - logits.max())
+    p = e / e.sum()
+    rad = np.radians(azi_bins_deg)
+    c = float(np.sum(np.cos(rad) * p))
+    s = float(np.sum(np.sin(rad) * p))
+    return math.degrees(math.atan2(s, c))
+
+
 def eval_lpd(task, variables, batches: int = 10, batch: int = 32,
              seed: int = 1234, r_max=(45.0, 60.0, 45.0)) -> Dict[str, float]:
     """Render plate scenes, decode pose, compare plate corners.
@@ -104,13 +128,7 @@ def eval_lpd(task, variables, batches: int = 10, batch: int = 32,
                 jnp.asarray(truth_pose), (h, w)))
             pc = np.asarray(proj.corners_in_image(
                 jnp.asarray(pred_pose), (h, w)))
-            tb, pb = _corner_bbox(tc), _corner_bbox(pc)
-            iw = max(min(tb[2], pb[2]) - max(tb[0], pb[0]), 0)
-            ih = max(min(tb[3], pb[3]) - max(tb[1], pb[1]), 0)
-            inter = iw * ih
-            a1 = (tb[2] - tb[0]) * (tb[3] - tb[1])
-            a2 = (pb[2] - pb[0]) * (pb[3] - pb[1])
-            ious.append(inter / max(a1 + a2 - inter, 1e-9))
+            ious.append(_corner_iou(tc, pc))
             z_errs.append(abs(pred_pose[2] - truth_pose[2]))
             ang_errs.append(np.mean(np.abs(pred_pose[3:] - truth_pose[3:])))
             scores.append(lp[i, 0])
@@ -175,13 +193,7 @@ def eval_cascade(lp_task, lp_variables, ocr_task, ocr_variables,
             tc = np.asarray(proj.corners_in_image(
                 jnp.asarray(poses[i]), (h, w)))
             pc = np.asarray(res.corners[i])
-            tb, pb = _corner_bbox(tc), _corner_bbox(pc)
-            iw = max(min(tb[2], pb[2]) - max(tb[0], pb[0]), 0)
-            ih = max(min(tb[3], pb[3]) - max(tb[1], pb[1]), 0)
-            inter = iw * ih
-            a1 = (tb[2] - tb[0]) * (tb[3] - tb[1])
-            a2 = (pb[2] - pb[0]) * (pb[3] - pb[1])
-            ious.append(inter / max(a1 + a2 - inter, 1e-9))
+            ious.append(_corner_iou(tc, pc))
     return {"cascade_exact_match": exact / total,
             "cascade_char_accuracy": char_hits / max(char_total, 1),
             "cascade_corner_iou": float(np.mean(ious)),
@@ -230,26 +242,15 @@ def eval_joint(task, variables, batches: int = 8, batch: int = 24,
         for i in range(batch):
             true_cls = int(car_labels[i, 0, 0])
             if true_cls >= 0:
-                logits = pred[i, 6:]
-                e = np.exp(logits - logits.max())
-                prob = e / e.sum()
-                azi_bins = np.radians(cls[:, 0])
-                c = float(np.sum(np.cos(azi_bins) * prob))
-                s = float(np.sum(np.sin(azi_bins) * prob))
-                err = math.degrees(math.atan2(s, c)) - cls[true_cls, 0]
+                err = _softmax_azimuth_deg(pred[i, 6:], cls[:, 0]) - \
+                    cls[true_cls, 0]
                 azi_err.append(abs((err + 180) % 360 - 180))
             if lp_labels[i, 0, 0] > 0:
                 tc = np.asarray(proj.corners_in_image(
                     jnp.asarray(lp_labels[i, 0, 1:7]), (h, w)))
                 pc = np.asarray(proj.corners_in_image(
                     jnp.asarray(lp[i, 1:7]), (h, w)))
-                tb, pb = _corner_bbox(tc), _corner_bbox(pc)
-                iw = max(min(tb[2], pb[2]) - max(tb[0], pb[0]), 0)
-                ih = max(min(tb[3], pb[3]) - max(tb[1], pb[1]), 0)
-                inter = iw * ih
-                a1 = (tb[2] - tb[0]) * (tb[3] - tb[1])
-                a2 = (pb[2] - pb[0]) * (pb[3] - pb[1])
-                lp_ious.append(inter / max(a1 + a2 - inter, 1e-9))
+                lp_ious.append(_corner_iou(tc, pc))
                 z_errs.append(abs(lp[i, 3] - lp_labels[i, 0, 3]))
     return {"car_mean_iou": float(np.mean(all_iou)),
             "car_azimuth_mae_deg": float(np.mean(azi_err)),
@@ -292,7 +293,6 @@ def eval_car_multi(task, variables, batches: int = 8, batch: int = 24,
                               grids, spec.slice_point, spec.size, k=k)
         return labels, top
 
-    azi_bins = np.radians(cls[:, 0])
     n_gt = n_matched = 0
     fp = 0
     matched_ious, azi_err = [], []
@@ -329,13 +329,9 @@ def eval_car_multi(task, variables, batches: int = 8, batch: int = 24,
                     used[best_j] = True
                     n_matched += 1
                     matched_ious.append(best_iou)
-                    logits = preds[best_j, 6:]
-                    e = np.exp(logits - logits.max())
-                    p_ = e / e.sum()
-                    c = float(np.sum(np.cos(azi_bins) * p_))
-                    s = float(np.sum(np.sin(azi_bins) * p_))
-                    err = (math.degrees(math.atan2(s, c))
-                           - cls[int(gt[0]), 0])
+                    err = _softmax_azimuth_deg(preds[best_j, 6:],
+                                               cls[:, 0]) - \
+                        cls[int(gt[0]), 0]
                     azi_err.append(abs((err + 180) % 360 - 180))
             fp += int((~used).sum())
     return {"multi_recall": n_matched / max(n_gt, 1),
@@ -366,7 +362,11 @@ def eval_car(task, variables, batches: int = 10, batch: int = 32,
         out = task.apply_eval(variables, imgs)
         if task.kind == "carlp":
             out = out[0]
-        pred = decode_car(out, grids, spec.slice_point, spec.size)
+        # f32 decode regardless of serving dtype: bf16 sigmoid/exp and
+        # argmax would make this eval incomparable with the sibling
+        # evals (eval_joint / eval_car_multi / eval_lpd all cast)
+        pred = decode_car([o.astype(jnp.float32) for o in out],
+                          grids, spec.slice_point, spec.size)
         pred_ltrb = yxhw_to_ltrb(pred[:, 1:5])
         ious = jax.vmap(iou_ltrb)(pred_ltrb, labels[:, 0, 1:5])
         return labels, pred, ious
@@ -382,16 +382,9 @@ def eval_car(task, variables, batches: int = 10, batch: int = 32,
             true_cls = int(labels[i, 0, 0])
             if true_cls < 0:
                 continue
-            true_azi = cls[true_cls, 0]
-            logits = pred[i, 6:]
-            e = np.exp(logits - logits.max())
-            p = e / e.sum()
-            azi_bins = np.radians(cls[:, 0])
-            c = float(np.sum(np.cos(azi_bins) * p))
-            s = float(np.sum(np.sin(azi_bins) * p))
-            err = math.degrees(math.atan2(s, c)) - true_azi
-            err = (err + 180) % 360 - 180
-            azi_err.append(abs(err))
+            err = _softmax_azimuth_deg(pred[i, 6:], cls[:, 0]) - \
+                cls[true_cls, 0]
+            azi_err.append(abs((err + 180) % 360 - 180))
     return {"car_mean_iou": float(np.mean(all_iou)),
             "car_azimuth_mae_deg": float(np.mean(azi_err)),
             "samples": len(all_iou)}

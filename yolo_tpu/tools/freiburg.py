@@ -47,11 +47,15 @@ def run_valid_nima(kind: str, spec, args):
     grids = make_grid_tables(spec.size, spec.steps, spec.all_anchors)
     task = trainer.task
 
+    # weights are jit ARGUMENTS, not closure constants: constant-folded
+    # params blow the serialized module past the axon remote-compile
+    # transport limit (HTTP 413) and disable donation
     @jax.jit
-    def infer(img):
-        out = task.apply_eval(variables, img)
+    def infer(v, img):
+        out = task.apply_eval(v, img)
         if kind == "carlp":
             out = out[0]
+        out = [o.astype(jnp.float32) for o in out]
         return decode_car(out, grids, spec.slice_point, spec.size)
 
     radar = RadarProb(spec.num_class, spec.classes)
@@ -76,7 +80,7 @@ def run_valid_nima(kind: str, spec, args):
                 continue
             im = Image.open(img_path).convert("RGB").resize((w, h))
             x = jnp.asarray(np.asarray(im, np.float32) / 255.0)[None]
-            pred = np.asarray(infer(x))[0]
+            pred = np.asarray(infer(variables, x))[0]
 
             left_ = (pred[2] - 0.5 * pred[4]) * IMAGE_W
             up_ = (pred[1] - 0.5 * pred[3]) * IMAGE_H
@@ -91,8 +95,11 @@ def run_valid_nima(kind: str, spec, args):
             azi_label = int(parts[2]) - 90
             azi_label = azi_label - 360 if azi_label > 180 else azi_label
 
-            inter = (min(right, right_) - max(left, left_)) * \
-                (min(down, down_) - max(up, up_))
+            # clamp each overlap to 0: two negative extents would
+            # otherwise multiply into a POSITIVE intersection and score
+            # a completely missed detection as a hit
+            inter = max(0.0, min(right, right_) - max(left, left_)) * \
+                max(0.0, min(down, down_) - max(up, up_))
             a1 = (right - left) * (down - up)
             a2 = (right_ - left_) * (down_ - up_)
             iou = inter / (a1 + a2 - inter) if (a1 + a2 - inter) else 0.0

@@ -45,8 +45,10 @@ class AzimuthFilter:
 
     def __init__(self, window: int = 5, num_bins: int = 24):
         self.window = window
-        step = 360.0 // num_bins
-        ang = np.arange(0, 360, step) * np.pi / 180.0
+        # true division: 360 // 16 = 22 would mis-space (and miscount)
+        # the bin angles for any num_bins that does not divide 360
+        ang = (np.arange(num_bins, dtype=np.float64)
+               * (360.0 / num_bins)) * np.pi / 180.0
         self.cos_offset = np.cos(ang)
         self.sin_offset = np.sin(ang)
         self.queue: List[List[float]] = []
@@ -86,7 +88,11 @@ class IBVSController:
         self.desire_x_area = desire_x_area
         self.car_threshold = car_threshold
         self.loss_target_counter = 0
-        self.err_log: Dict[str, List[float]] = {ax: [] for ax in AXES}
+        # PID memory: running integral + last error only — an hour-long
+        # 30 Hz track must not grow a list and re-sum it every tick
+        self.err_sum: Dict[str, float] = {ax: 0.0 for ax in AXES}
+        self.err_last: Dict[str, Optional[float]] = {ax: None
+                                                     for ax in AXES}
         self.azimuth_filter = AzimuthFilter(num_bins=num_bins)
         self.num_bins = num_bins
         self.uav_heading = 0.0
@@ -129,12 +135,13 @@ class IBVSController:
         err = {"x": errx, "y": erry, "z": errz, "w": errw}
         out = {}
         for ax in AXES:
-            self.err_log[ax].append(err[ax])
+            self.err_sum[ax] += err[ax]
             out[ax] = err[ax] * self.gain.get(ax + "p", 0.0)
-            out[ax] += sum(self.err_log[ax]) * self.gain.get(ax + "i", 0.0)
-            if len(self.err_log[ax]) > 1 and dt > 0:
-                d = (err[ax] - self.err_log[ax][-2]) / dt
+            out[ax] += self.err_sum[ax] * self.gain.get(ax + "i", 0.0)
+            if self.err_last[ax] is not None and dt > 0:
+                d = (err[ax] - self.err_last[ax]) / dt
                 out[ax] += d * self.gain.get(ax + "d", 0.0)
+            self.err_last[ax] = err[ax]
 
         local_x = _bound(out["x"], 0.2, 0.05)
         local_y = _bound(out["y"], 0.2, 0.05)
@@ -146,7 +153,8 @@ class IBVSController:
 
     def reset_errors(self):
         for ax in AXES:
-            self.err_log[ax] = []
+            self.err_sum[ax] = 0.0
+            self.err_last[ax] = None
 
 
 def _bound(x: float, high: float, low: float) -> float:

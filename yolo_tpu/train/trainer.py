@@ -86,6 +86,7 @@ class Trainer:
             self.state = restore_checkpoint(self.backup_dir, self.state)
 
         exp = datetime.datetime.now().strftime("%m-%dx%H-%M")
+        self.record = record
         self.writer = MetricWriter(os.path.join(workdir, "logs"), exp=exp) \
             if record else None
 
@@ -199,6 +200,10 @@ class Trainer:
         valid_step = self.spec.get("valid_step", 0)
         state = self.state
         bg = None
+        # the step counter is derived on host: int(state.step) every
+        # iteration would be a full device sync per step, serializing
+        # dispatch over the high-latency remote transport
+        step0 = int(jax.device_get(self.state.step))
         for i in range(num_steps):
             self._rngkey, k_bg, k_step = jax.random.split(self._rngkey, 3)
             # refresh backgrounds every 10 steps (reference cadence,
@@ -206,20 +211,23 @@ class Trainer:
             if bg is None or i % 10 == 0:
                 bg = self.next_backgrounds(k_bg)
             state, losses = self._step_fn(state, k_step, bg)
-            step = int(state.step)
+            step = step0 + i + 1
             if self.writer and step % log_every == 0:
                 self.writer.scalars(losses, step)
             if valid_fn and valid_step and step % valid_step == 0:
                 metrics = valid_fn(state)
                 if self.writer:
                     self.writer.scalars(metrics, step)
-            if record_step and step % record_step == 0:
+            if self.record and record_step and step % record_step == 0:
                 save_checkpoint(self.backup_dir, state, step)
         self.state = state
         # always checkpoint the final step (a run whose length is not a
-        # multiple of record_step must not lose its tail)
-        step = int(state.step)
-        if record_step and step % record_step != 0:
+        # multiple of record_step must not lose its tail). record=False
+        # (--record 0 debug runs, non-primary hosts) must write NOTHING:
+        # checkpoint rotation would destroy up to max_to_keep real
+        # backups from the run being debugged.
+        step = step0 + num_steps
+        if self.record and record_step and step % record_step != 0:
             save_checkpoint(self.backup_dir, state, step)
         return state
 

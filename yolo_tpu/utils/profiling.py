@@ -42,9 +42,11 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2
     device executes FIFO, so that forces all of them); also reports the
     single-call latency including the host round trip.
     """
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    _force(out)
+    if out is not None:
+        _force(out)
 
     t0 = time.perf_counter()
     out = fn(*args)
