@@ -18,13 +18,17 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
 #include <atomic>
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <dirent.h>
+#include <fcntl.h>
+#include <poll.h>
 #include <string>
 #include <thread>
+#include <unistd.h>
 #include <vector>
 
 namespace {
@@ -78,10 +82,13 @@ int fp_ring_push(void* ring, const uint8_t* rgb) {
   uint64_t head = r->head.load(std::memory_order_relaxed);
   uint64_t tail = r->tail.load(std::memory_order_acquire);
   if (head - tail >= static_cast<uint64_t>(r->capacity)) {
-    // full: advance tail (drop oldest)
-    r->tail.compare_exchange_strong(tail, tail + 1,
-                                    std::memory_order_acq_rel);
+    // full: drop THIS frame. Reclaiming the oldest slot instead would
+    // overwrite the exact slot the consumer may be mid-read on (pop
+    // converts from slot(tail) BEFORE advancing tail) — a torn frame.
+    // The camera thread still never blocks; the consumer frees a whole
+    // batch of slots at a time, so the ring drains within one pop.
     r->dropped.fetch_add(1, std::memory_order_relaxed);
+    return 0;
   }
   std::memcpy(r->slot(head), rgb, r->frame_bytes);
   r->head.store(head + 1, std::memory_order_release);
@@ -164,16 +171,68 @@ int fp_ring_eos(void* ring) {
 // ---------------------------------------------------------------------
 namespace {
 
-// minimal binary PPM (P6) reader; frames must match the ring geometry.
-bool read_ppm(FILE* f, Ring* r, std::vector<uint8_t>& buf) {
-  char magic[3] = {0};
-  if (fscanf(f, "%2s", magic) != 1 || strcmp(magic, "P6") != 0) return false;
-  int w, h, maxv;
-  if (fscanf(f, "%d %d %d", &w, &h, &maxv) != 3) return false;
-  fgetc(f);  // single whitespace after header
-  if (w != r->frame_w || h != r->frame_h || maxv != 255) return false;
+// Non-blocking reads with a 200 ms poll so a producer blocked on a
+// stalled FIFO writer re-checks eos and destroy()'s join cannot hang
+// the process. `seen_data` distinguishes "FIFO writer not connected
+// yet" (read()==0 before any byte: wait) from true EOF.
+bool read_n(int fd, uint8_t* dst, size_t n, Ring* r, bool& seen_data) {
+  size_t off = 0;
+  while (off < n && !r->eos.load()) {
+    ssize_t k = read(fd, dst + off, n - off);
+    if (k > 0) {
+      off += static_cast<size_t>(k);
+      seen_data = true;
+      continue;
+    }
+    if (k == 0 && !seen_data) {      // FIFO with no writer yet
+      struct pollfd p = {fd, POLLIN, 0};
+      poll(&p, 1, 200);
+      continue;
+    }
+    if (k < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+      struct pollfd p = {fd, POLLIN, 0};
+      poll(&p, 1, 200);
+      continue;
+    }
+    return false;                    // EOF or hard error
+  }
+  return off == n;
+}
+
+// minimal binary PPM (P6) reader over read_n; frames must match the
+// ring geometry. Header = "P6" ws <w> ws <h> ws <maxv> single-ws.
+bool read_ppm(int fd, Ring* r, std::vector<uint8_t>& buf,
+              bool& seen_data) {
+  auto next_tok = [&](char* out, size_t cap) -> bool {
+    size_t i = 0;
+    uint8_t c;
+    // skip leading whitespace
+    do {
+      if (!read_n(fd, &c, 1, r, seen_data)) return false;
+    } while (c == ' ' || c == '\t' || c == '\r' || c == '\n');
+    while (!(c == ' ' || c == '\t' || c == '\r' || c == '\n')) {
+      if (i + 1 < cap) out[i++] = static_cast<char>(c);
+      if (!read_n(fd, &c, 1, r, seen_data)) break;
+    }
+    out[i] = 0;
+    return i > 0;
+  };
+  char tok[16];
+  if (!next_tok(tok, sizeof tok) || strcmp(tok, "P6") != 0) return false;
+  int vals[3];
+  for (int i = 0; i < 3; ++i) {
+    if (!next_tok(tok, sizeof tok)) return false;
+    vals[i] = atoi(tok);
+  }
+  // next_tok consumed exactly the single whitespace after maxval
+  if (vals[0] != r->frame_w || vals[1] != r->frame_h || vals[2] != 255)
+    return false;
   buf.resize(r->frame_bytes);
-  return fread(buf.data(), 1, r->frame_bytes, f) == r->frame_bytes;
+  return read_n(fd, buf.data(), r->frame_bytes, r, seen_data);
+}
+
+int open_stream(const char* path) {
+  return open(path, O_RDONLY | O_NONBLOCK);
 }
 
 }  // namespace
@@ -182,15 +241,17 @@ bool read_ppm(FILE* f, Ring* r, std::vector<uint8_t>& buf) {
 //   ffmpeg -i in.mp4 -vf scale=WxH -f image2pipe -vcodec ppm -)
 int fp_start_ppm_stream(void* ring, const char* path) {
   Ring* r = static_cast<Ring*>(ring);
+  if (r->producer.joinable()) return 0;  // second start would terminate()
   std::string p(path);
   r->producer = std::thread([r, p]() {
-    FILE* f = fopen(p.c_str(), "rb");
-    if (f) {
+    int fd = open_stream(p.c_str());
+    if (fd >= 0) {
       std::vector<uint8_t> buf;
-      while (!r->eos.load() && read_ppm(f, r, buf)) {
+      bool seen = false;
+      while (!r->eos.load() && read_ppm(fd, r, buf, seen)) {
         fp_ring_push(r, buf.data());
       }
-      fclose(f);
+      close(fd);
     }
     r->eos.store(true);
   });
@@ -200,16 +261,18 @@ int fp_start_ppm_stream(void* ring, const char* path) {
 // stream raw RGB24 frames of the ring geometry from a file/fifo.
 int fp_start_raw_stream(void* ring, const char* path) {
   Ring* r = static_cast<Ring*>(ring);
+  if (r->producer.joinable()) return 0;  // second start would terminate()
   std::string p(path);
   r->producer = std::thread([r, p]() {
-    FILE* f = fopen(p.c_str(), "rb");
-    if (f) {
+    int fd = open_stream(p.c_str());
+    if (fd >= 0) {
       std::vector<uint8_t> buf(r->frame_bytes);
+      bool seen = false;
       while (!r->eos.load() &&
-             fread(buf.data(), 1, r->frame_bytes, f) == r->frame_bytes) {
+             read_n(fd, buf.data(), r->frame_bytes, r, seen)) {
         fp_ring_push(r, buf.data());
       }
-      fclose(f);
+      close(fd);
     }
     r->eos.store(true);
   });

@@ -215,19 +215,33 @@ int main(int argc, char** argv) {
   const int types[1] = {u8_input ? 2 : 0};  // u8 | f32
 
   int batches = 0;
+  int frames_served = 0;
   double first_ms = 0.0, steady_ms = 0.0;
   double stage_ms[3] = {0, 0, 0};        // steady-state h2d/exec/d2h sums
   while (max_batches == 0 || batches < max_batches) {
-    int got = u8_input
-                  ? fp_ring_pop_batch_u8(ring, ubuf.data(), batch)
-                  : fp_ring_pop_batch(ring, buf.data(), batch, nh, nw,
-                                      0.5f);
-    if (got == 0) {
-      if (fp_ring_eos(ring)) break;
-      std::this_thread::sleep_for(std::chrono::milliseconds(1));
-      continue;
+    // accumulate a FULL batch unless the stream ended: padding on mere
+    // producer lag would duplicate frames mid-stream and shift every
+    // later batch against the verifier's reference
+    int got = 0;
+    while (got < batch) {
+      int k = u8_input
+                  ? fp_ring_pop_batch_u8(
+                        ring, ubuf.data() + static_cast<size_t>(got) *
+                                                fh * fw * 3,
+                        batch - got)
+                  : fp_ring_pop_batch(
+                        ring, buf.data() + static_cast<size_t>(got) *
+                                               nh * nw * 3,
+                        batch - got, nh, nw, 0.5f);
+      got += k;
+      if (got >= batch || fp_ring_eos(ring)) break;
+      if (k == 0)
+        std::this_thread::sleep_for(std::chrono::milliseconds(1));
     }
-    // partial tail batch: repeat the last frame to keep the shape static
+    if (got == 0) break;               // eos and nothing left
+    frames_served += got;
+    // partial TAIL batch (eos): repeat the last frame to keep the
+    // shape static
     if (u8_input) {
       const size_t fsz = static_cast<size_t>(fh) * fw * 3;
       for (int i = got; i < batch; i++)
@@ -282,7 +296,7 @@ int main(int argc, char** argv) {
       "\"first_batch_ms\": %.3f, \"steady_ms_per_batch\": %.3f, "
       "\"steady_fps\": %.1f, \"steady_h2d_ms\": %.3f, "
       "\"steady_exec_ms\": %.3f, \"steady_d2h_ms\": %.3f}\n",
-      batches, batches * batch, compile_ms, weights_ms, n_weights,
+      batches, frames_served, compile_ms, weights_ms, n_weights,
       first_ms, steady_mean,
       steady_mean > 0 ? batch / (steady_mean / 1e3) : 0.0,
       stage_ms[0] / denom, stage_ms[1] / denom, stage_ms[2] / denom);

@@ -332,6 +332,21 @@ int ps_execute(void* handle, const void* const* args_data,
   Shim* s = static_cast<Shim*>(handle);
   std::vector<PJRT_Buffer*> in_bufs(n_args, nullptr);
 
+  // every error path must free what it created: a long-running serving
+  // loop over a flaky transport would otherwise leak device buffers on
+  // each failed call until the client OOMs
+  auto destroy_buf = [&](PJRT_Buffer* buf) {
+    if (!buf) return;
+    PJRT_Buffer_Destroy_Args d;
+    memset(&d, 0, sizeof(d));
+    d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    d.buffer = buf;
+    s->api->PJRT_Buffer_Destroy(&d);
+  };
+  auto destroy_inputs = [&]() {
+    for (auto* buf : in_bufs) destroy_buf(buf);
+  };
+
   double t0 = now_ms();
   for (int i = 0; i < n_args; i++) {
     PJRT_Client_BufferFromHostBuffer_Args b;
@@ -345,10 +360,15 @@ int ps_execute(void* handle, const void* const* args_data,
     b.host_buffer_semantics =
         PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
     b.device = s->device;
-    if (!check(s, s->api->PJRT_Client_BufferFromHostBuffer(&b), "h2d"))
+    if (!check(s, s->api->PJRT_Client_BufferFromHostBuffer(&b), "h2d")) {
+      destroy_inputs();
       return -1;
-    if (!await_event(s, b.done_with_host_buffer, "h2d_event")) return -1;
+    }
     in_bufs[i] = b.buffer;
+    if (!await_event(s, b.done_with_host_buffer, "h2d_event")) {
+      destroy_inputs();
+      return -1;
+    }
   }
 
   // full argument list: streamed args then persistent weights
@@ -383,15 +403,14 @@ int ps_execute(void* handle, const void* const* args_data,
   double t2 = now_ms();
   s->t_exec_ms = t2 - t1;
 
-  // destroy inputs
-  for (auto* buf : in_bufs) {
-    PJRT_Buffer_Destroy_Args d;
-    memset(&d, 0, sizeof(d));
-    d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    d.buffer = buf;
-    s->api->PJRT_Buffer_Destroy(&d);
+  destroy_inputs();
+  if (!ok) {
+    for (auto* buf : outs) destroy_buf(buf);
+    return -1;
   }
-  if (!ok) return -1;
+  auto fail_outputs_from = [&](size_t j) {
+    for (size_t k = j; k < outs.size(); ++k) destroy_buf(outs[k]);
+  };
 
   // read back every output
   s->out_dims.assign(s->num_outputs, {});
@@ -404,14 +423,20 @@ int ps_execute(void* handle, const void* const* args_data,
     memset(&dd, 0, sizeof(dd));
     dd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
     dd.buffer = buf;
-    if (!check(s, s->api->PJRT_Buffer_Dimensions(&dd), "dims")) return -1;
+    if (!check(s, s->api->PJRT_Buffer_Dimensions(&dd), "dims")) {
+      fail_outputs_from(i);
+      return -1;
+    }
     s->out_dims[i].assign(dd.dims, dd.dims + dd.num_dims);
 
     PJRT_Buffer_ElementType_Args et;
     memset(&et, 0, sizeof(et));
     et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
     et.buffer = buf;
-    if (!check(s, s->api->PJRT_Buffer_ElementType(&et), "etype")) return -1;
+    if (!check(s, s->api->PJRT_Buffer_ElementType(&et), "etype")) {
+      fail_outputs_from(i);
+      return -1;
+    }
     s->out_types[i] = static_cast<int>(et.type);
 
     // request an explicit dense row-major host layout: with host_layout
@@ -441,12 +466,20 @@ int ps_execute(void* handle, const void* const* args_data,
     th.src = buf;
     th.host_layout = &layout;
     th.dst = nullptr;                // size query
-    if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h_size"))
+    if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h_size")) {
+      fail_outputs_from(i);
       return -1;
+    }
     s->out_data[i].resize(th.dst_size);
     th.dst = s->out_data[i].data();
-    if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h")) return -1;
-    if (!await_event(s, th.event, "d2h_event")) return -1;
+    if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h")) {
+      fail_outputs_from(i);
+      return -1;
+    }
+    if (!await_event(s, th.event, "d2h_event")) {
+      fail_outputs_from(i);
+      return -1;
+    }
 
     PJRT_Buffer_Destroy_Args d;
     memset(&d, 0, sizeof(d));
@@ -478,8 +511,8 @@ void ps_output_dims(void* handle, int i, int64_t* dims_out) {
          s->out_dims[i].size() * sizeof(int64_t));
 }
 
-// PJRT_Buffer_Type enum value of output i (13 == F32 in the v0.x enum;
-// the Python side maps via its own copy of the enum table).
+// PJRT_Buffer_Type enum value of output i (11 == F32, 13 == BF16 in
+// the v0.x enum; the Python side maps via _PJRT_TYPE_NP).
 int ps_output_type(void* handle, int i) {
   return static_cast<Shim*>(handle)->out_types[i];
 }

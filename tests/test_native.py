@@ -46,15 +46,24 @@ def test_ring_pop_batch_u8_raw(lib):
     ring.close()
 
 
-def test_ring_drops_oldest_when_full(lib):
+def test_ring_drops_newest_when_full(lib):
+    """A full ring drops the INCOMING frame: reclaiming the oldest slot
+    would overwrite memory the consumer may be mid-read on (pop converts
+    from slot(tail) before advancing tail) — a torn frame. The enqueued
+    frames stay intact and drops are counted."""
     ring = FrameRing(2, 4, 4)
     for i in range(5):
         ring.push(np.full((4, 4, 3), i, np.uint8))
-    assert ring.dropped >= 1
+    assert ring.dropped == 3
     out = ring.pop_batch(2, 4, 4)
-    # newest frames survive
     assert out.shape[0] == 2
-    assert out[-1].max() * 255 == pytest.approx(4, abs=0.5)
+    # the two frames that fit survive, untorn and in order
+    assert out[0].max() * 255 == pytest.approx(0, abs=0.5)
+    assert out[-1].max() * 255 == pytest.approx(1, abs=0.5)
+    # ring drained: the next push is accepted again
+    ring.push(np.full((4, 4, 3), 9, np.uint8))
+    out = ring.pop_batch(1, 4, 4)
+    assert out[0].max() * 255 == pytest.approx(9, abs=0.5)
     ring.close()
 
 
@@ -94,6 +103,31 @@ def test_ppm_stream_producer(lib, tmp_path):
     out = ring.pop_batch(3, h, w)
     assert out.shape[0] == 3
     np.testing.assert_allclose(out[2], frames[2] / 255.0, atol=1e-6)
+    ring.close()
+
+
+def test_stalled_fifo_close_does_not_hang(lib, tmp_path):
+    """A producer blocked on a FIFO with no writer must still observe
+    eos (poll-based reads): close() used to join a thread stuck in a
+    blocking fread forever."""
+    fifo = tmp_path / "stalled.fifo"
+    os.mkfifo(fifo)
+    ring = FrameRing(4, 8, 8)
+    ring.start_raw_stream(str(fifo))
+    time.sleep(0.3)                  # let the producer block on the fifo
+    t0 = time.time()
+    ring.close()
+    assert time.time() - t0 < 3.0
+
+
+def test_stream_double_start_rejected(lib, tmp_path):
+    """Starting a second producer on a live ring must be refused —
+    assigning to a joinable std::thread would std::terminate."""
+    path = tmp_path / "frames.raw"
+    path.write_bytes(np.zeros((8, 8, 3), np.uint8).tobytes())
+    ring = FrameRing(4, 8, 8)
+    assert lib.fp_start_raw_stream(ring._ptr, str(path).encode()) == 1
+    assert lib.fp_start_raw_stream(ring._ptr, str(path).encode()) == 0
     ring.close()
 
 

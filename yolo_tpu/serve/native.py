@@ -26,10 +26,13 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
         return _lib
     if not os.path.exists(_LIB_PATH) and build:
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR],
+            # the specific target: `make all` also builds the PJRT shim,
+            # whose missing header would fail the whole invocation even
+            # though libframepipe.so needs no PJRT at all
+            subprocess.run(["make", "-C", _NATIVE_DIR, "libframepipe.so"],
                            check=True, capture_output=True)
         except Exception:
-            return None
+            pass        # fall through: the .so may still have been built
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -95,10 +98,12 @@ class FrameRing:
         return out[:got]
 
     def start_ppm_stream(self, path: str):
-        self.lib.fp_start_ppm_stream(self._ptr, path.encode())
+        if not self.lib.fp_start_ppm_stream(self._ptr, path.encode()):
+            raise RuntimeError("ring already has a producer stream")
 
     def start_raw_stream(self, path: str):
-        self.lib.fp_start_raw_stream(self._ptr, path.encode())
+        if not self.lib.fp_start_raw_stream(self._ptr, path.encode()):
+            raise RuntimeError("ring already has a producer stream")
 
     @property
     def size(self) -> int:
@@ -129,6 +134,16 @@ _PJRT_TYPE_NP = {1: np.bool_, 2: np.int8, 3: np.int16, 4: np.int32,
                  5: np.int64, 6: np.uint8, 7: np.uint16, 8: np.uint32,
                  9: np.uint64, 10: np.float16, 11: np.float32,
                  12: np.float64}
+# numpy dtype -> shim input type code (pjrt_shim.cpp to_pjrt_type);
+# single table shared by upload and __call__ so the two cannot drift
+_DTYPE_CODE = {np.dtype(np.float32): 0, np.dtype(np.int32): 1,
+               np.dtype(np.uint8): 2}
+try:                                    # bf16 via ml_dtypes (ships w/ jax)
+    import ml_dtypes
+    _PJRT_TYPE_NP[13] = ml_dtypes.bfloat16
+    _DTYPE_CODE[np.dtype(ml_dtypes.bfloat16)] = 3
+except ImportError:                     # pragma: no cover
+    pass
 
 
 def load_pjrt_library(build: bool = True) -> Optional[ctypes.CDLL]:
@@ -235,8 +250,7 @@ class PjrtEngine:
         serving loop then streams only frames.
         """
         a = np.ascontiguousarray(arr)
-        code = {np.dtype(np.float32): 0, np.dtype(np.int32): 1,
-                np.dtype(np.uint8): 2}.get(a.dtype)
+        code = _DTYPE_CODE.get(a.dtype)
         if code is None:
             raise TypeError(f"unsupported upload dtype {a.dtype}")
         dims = (ctypes.c_int64 * max(a.ndim, 1))(*a.shape)
@@ -258,13 +272,10 @@ class PjrtEngine:
         ndims = (ctypes.c_int * n)(*[a.ndim for a in arrs])
 
         def type_code(a):
-            if a.dtype == np.float32:
-                return 0
-            if a.dtype == np.int32:
-                return 1
-            if a.dtype == np.uint8:
-                return 2
-            raise TypeError(f"unsupported input dtype {a.dtype}")
+            code = _DTYPE_CODE.get(a.dtype)
+            if code is None:
+                raise TypeError(f"unsupported input dtype {a.dtype}")
+            return code
         types = (ctypes.c_int * n)(*[type_code(a) for a in arrs])
 
         n_out = self.lib.ps_execute(self._ptr, data, dims, ndims, types, n)

@@ -79,12 +79,26 @@ def full_pipeline():
 
 
 def main(argv=None):
+    # pin THIS process's jax to CPU: a jax TPU client would hold the
+    # device claim for process lifetime and PjrtEngine's own client on
+    # the same plugin would block forever in PJRT_Client_Create (the
+    # documented axon claim behaviour; pjrt_node_demo has the same
+    # guard). The module is cross-lowered for the plugin's platform.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass    # backend already initialized (e.g. under pytest)
     p = argparse.ArgumentParser()
     p.add_argument("--plugin", default=os.environ.get(
         "YOLO_TPU_PJRT_PLUGIN", "/opt/axon/libaxon_pjrt.so"))
     p.add_argument("--full", action="store_true")
+    p.add_argument("--platform", default=None,
+                   help="lowering platform for the exported module "
+                        "(default: tpu for the axon plugin, else cpu)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+    platform = args.platform or (
+        "tpu" if "axon" in args.plugin or "tpu" in args.plugin else "cpu")
 
     if args.full:
         fn, example_args, n_strict = full_pipeline()
@@ -98,7 +112,7 @@ def main(argv=None):
 
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "module.mlir")
-        export_stablehlo(fn, example_args, path)
+        export_stablehlo(fn, example_args, path, platforms=[platform])
         engine = PjrtEngine(args.plugin, module_path=path)
         outs = engine(*[np.asarray(a) for a in example_args])
         engine.close()
