@@ -161,8 +161,13 @@ def main():
             break
     print(f"# bench weights: {weight_provenance}", file=sys.stderr)
     # pipeline defaults: (64, 160) unwarp sampling is both the batch-64
-    # sweep optimum and accuracy-neutral (reports/eval_unwarp_*.json)
-    pipe = JointPipeline(joint_task, ocr_task)
+    # sweep optimum and accuracy-neutral (reports/eval_unwarp_*.json).
+    # YOLO_TPU_BENCH_WARP overrides the rectification impl for gather-vs-
+    # matmul A/Bs without changing the driver-invoked default.
+    pipe_kw = {}
+    if os.environ.get("YOLO_TPU_BENCH_WARP"):
+        pipe_kw["warp_impl"] = os.environ["YOLO_TPU_BENCH_WARP"]
+    pipe = JointPipeline(joint_task, ocr_task, **pipe_kw)
     fn = pipe.jit()
 
     frames = jax.random.uniform(key, (batch, 416, 416, 3), jnp.float32)
