@@ -444,21 +444,24 @@ int ps_execute(void* handle, const void* const* args_data,
     // compiler is free to pick a permuted/tiled layout per output —
     // which scrambled e.g. the (B, 4, 2) corners and the 5-D head maps
     // while same-layout outputs compared exact (the
-    // reports/pjrt_roundtrip.json ok=false signature).
-    size_t esize = elem_size(static_cast<PJRT_Buffer_Type>(s->out_types[i]));
-    std::vector<int64_t> byte_strides(s->out_dims[i].size());
-    int64_t stride = static_cast<int64_t>(esize);
-    for (int k = static_cast<int>(byte_strides.size()) - 1; k >= 0; k--) {
-      byte_strides[k] = stride;
-      stride *= s->out_dims[i][k];
-    }
+    // reports/pjrt_roundtrip.json ok=false signature). The axon plugin
+    // rejects Strides host layouts ("only dense minor_to_major layouts
+    // are handled"), matching jaxlib's ToLiteral path which always
+    // passes Tiled — so express row-major as a tile-less Tiled layout
+    // with minor_to_major = [rank-1, ..., 0].
+    std::vector<int64_t> m2m(s->out_dims[i].size());
+    for (size_t k = 0; k < m2m.size(); k++)
+      m2m[k] = static_cast<int64_t>(m2m.size() - 1 - k);
     PJRT_Buffer_MemoryLayout layout;
     memset(&layout, 0, sizeof(layout));
     layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
-    layout.type = PJRT_Buffer_MemoryLayout_Type_Strides;
-    layout.strides.struct_size = PJRT_Buffer_MemoryLayout_Strides_STRUCT_SIZE;
-    layout.strides.byte_strides = byte_strides.data();
-    layout.strides.num_byte_strides = byte_strides.size();
+    layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    layout.tiled.minor_to_major = m2m.data();
+    layout.tiled.minor_to_major_size = m2m.size();
+    layout.tiled.tile_dims = nullptr;
+    layout.tiled.tile_dim_sizes = nullptr;
+    layout.tiled.num_tiles = 0;
 
     PJRT_Buffer_ToHostBuffer_Args th;
     memset(&th, 0, sizeof(th));
