@@ -62,24 +62,6 @@ PJRT_Buffer_Type to_pjrt_type(int t) {
   }
 }
 
-size_t elem_size(PJRT_Buffer_Type t) {
-  switch (t) {
-    case PJRT_Buffer_Type_PRED:
-    case PJRT_Buffer_Type_S8:
-    case PJRT_Buffer_Type_U8: return 1;
-    case PJRT_Buffer_Type_S16:
-    case PJRT_Buffer_Type_U16:
-    case PJRT_Buffer_Type_F16:
-    case PJRT_Buffer_Type_BF16: return 2;
-    case PJRT_Buffer_Type_S64:
-    case PJRT_Buffer_Type_U64:
-    case PJRT_Buffer_Type_F64:
-    case PJRT_Buffer_Type_C64: return 8;
-    case PJRT_Buffer_Type_C128: return 16;
-    default: return 4;   // S32/U32/F32
-  }
-}
-
 bool check(Shim* s, PJRT_Error* err, const char* what) {
   if (err == nullptr) return true;
   PJRT_Error_Message_Args m;
