@@ -163,7 +163,10 @@ def main():
     # pipeline defaults: (64, 160) unwarp sampling is both the batch-64
     # sweep optimum and accuracy-neutral (reports/eval_unwarp_*.json).
     # YOLO_TPU_BENCH_WARP overrides the rectification impl for gather-vs-
-    # matmul A/Bs without changing the driver-invoked default.
+    # matmul A/Bs without changing the driver-invoked default (matmul —
+    # the A/B winner, reports/bench_warp_matmul.json). The value is
+    # validated inside the pipeline (resolve_warp_impl raises on typos)
+    # and the JSON line records the impl that actually ran.
     pipe_kw = {}
     if os.environ.get("YOLO_TPU_BENCH_WARP"):
         pipe_kw["warp_impl"] = os.environ["YOLO_TPU_BENCH_WARP"]
@@ -197,6 +200,7 @@ def main():
         "vs_baseline": round(fps / 1000.0, 4),
         "batch": batch,
         "backend": backend,
+        "warp_impl": pipe.warp_impl,
         "weights": weight_provenance,
         "spec": spec_src,
     }))

@@ -28,6 +28,18 @@
 
 namespace {
 
+// One dispatched-but-not-harvested execution. The serving loop keeps a
+// short FIFO of these (ps_execute_async / ps_await_next): the device runs
+// programs in order, so batch N's readback round-trips over the transport
+// overlap batch N+1's upload + dispatch instead of serializing with them.
+struct Inflight {
+  std::vector<PJRT_Buffer*> inputs;   // streamed args (freed at harvest)
+  std::vector<PJRT_Event*> h2d_events;
+  std::vector<PJRT_Buffer*> outputs;
+  PJRT_Event* done = nullptr;
+  double t_dispatch_ms = 0;           // host time spent in dispatch
+};
+
 struct Shim {
   void* dso = nullptr;
   const PJRT_Api* api = nullptr;
@@ -42,8 +54,15 @@ struct Shim {
   std::vector<std::vector<int64_t>> out_dims;
   std::vector<int> out_types;
   std::vector<std::vector<uint8_t>> out_data;
+  // static per-output metadata, captured on the first harvest and reused:
+  // dims / element type / host byte size never change for a compiled
+  // program, and re-querying them cost 3 transport round-trips per
+  // output per batch on the remote axon plugin
+  bool meta_cached = false;
+  std::vector<int64_t> cached_nbytes;
   std::string last_error;
-  // per-stage wall times of the last ps_execute (ms): h2d, execute, d2h
+  std::vector<Inflight> inflight;     // FIFO, oldest first
+  // per-stage wall times of the last harvested execute (ms)
   double t_h2d_ms = 0, t_exec_ms = 0, t_d2h_ms = 0;
 };
 
@@ -304,30 +323,42 @@ int ps_num_persistent(void* handle) {
   return static_cast<int>(static_cast<Shim*>(handle)->persistent.size());
 }
 
-// Execute on one device with n_args dense arrays streamed from the host,
-// followed by any persistent arguments uploaded via ps_upload.
-// types[i]: 0 = f32, 1 = s32, 2 = u8, 3 = bf16. Returns number of
-// outputs, or -1.
-int ps_execute(void* handle, const void* const* args_data,
-               const int64_t* const* args_dims, const int* args_ndims,
-               const int* args_types, int n_args) {
-  Shim* s = static_cast<Shim*>(handle);
-  std::vector<PJRT_Buffer*> in_bufs(n_args, nullptr);
+namespace {
 
-  // every error path must free what it created: a long-running serving
-  // loop over a flaky transport would otherwise leak device buffers on
-  // each failed call until the client OOMs
-  auto destroy_buf = [&](PJRT_Buffer* buf) {
-    if (!buf) return;
-    PJRT_Buffer_Destroy_Args d;
-    memset(&d, 0, sizeof(d));
-    d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    d.buffer = buf;
-    s->api->PJRT_Buffer_Destroy(&d);
-  };
-  auto destroy_inputs = [&]() {
-    for (auto* buf : in_bufs) destroy_buf(buf);
-  };
+void destroy_buf(Shim* s, PJRT_Buffer* buf) {
+  if (!buf) return;
+  PJRT_Buffer_Destroy_Args d;
+  memset(&d, 0, sizeof(d));
+  d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+  d.buffer = buf;
+  s->api->PJRT_Buffer_Destroy(&d);
+}
+
+void drop_inflight(Shim* s, Inflight* fl) {
+  for (auto* ev : fl->h2d_events) await_event(s, ev, "h2d_drop");
+  for (auto* buf : fl->inputs) destroy_buf(s, buf);
+  for (auto* buf : fl->outputs) destroy_buf(s, buf);
+  if (fl->done) await_event(s, fl->done, "done_drop");
+  fl->h2d_events.clear();
+  fl->inputs.clear();
+  fl->outputs.clear();
+  fl->done = nullptr;
+}
+
+}  // namespace
+
+// Dispatch one execution WITHOUT waiting for results: upload the streamed
+// args, enqueue the program, push the pending outputs on the in-flight
+// FIFO. The caller's args_data buffers must stay valid until the matching
+// ps_await_next (h2d uses kImmutableUntilTransferCompletes and the
+// transfer-done events are only awaited at harvest). types[i]: 0 = f32,
+// 1 = s32, 2 = u8, 3 = bf16. Returns the in-flight depth, or -1.
+int ps_execute_async(void* handle, const void* const* args_data,
+                     const int64_t* const* args_dims, const int* args_ndims,
+                     const int* args_types, int n_args) {
+  Shim* s = static_cast<Shim*>(handle);
+  Inflight fl;
+  fl.inputs.assign(n_args, nullptr);
 
   double t0 = now_ms();
   for (int i = 0; i < n_args; i++) {
@@ -343,25 +374,24 @@ int ps_execute(void* handle, const void* const* args_data,
         PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
     b.device = s->device;
     if (!check(s, s->api->PJRT_Client_BufferFromHostBuffer(&b), "h2d")) {
-      destroy_inputs();
+      drop_inflight(s, &fl);
       return -1;
     }
-    in_bufs[i] = b.buffer;
-    if (!await_event(s, b.done_with_host_buffer, "h2d_event")) {
-      destroy_inputs();
-      return -1;
-    }
+    fl.inputs[i] = b.buffer;
+    // do NOT await done_with_host_buffer here: the wait is a transport
+    // round-trip that can ride along with the execute dispatch
+    if (b.done_with_host_buffer)
+      fl.h2d_events.push_back(b.done_with_host_buffer);
   }
 
   // full argument list: streamed args then persistent weights
-  std::vector<PJRT_Buffer*> all_args(in_bufs);
+  std::vector<PJRT_Buffer*> all_args(fl.inputs);
   all_args.insert(all_args.end(), s->persistent.begin(),
                   s->persistent.end());
 
-  std::vector<PJRT_Buffer*> outs(s->num_outputs, nullptr);
-  PJRT_Buffer** out_list = outs.data();
+  fl.outputs.assign(s->num_outputs, nullptr);
+  PJRT_Buffer** out_list = fl.outputs.data();
   PJRT_Buffer* const* arg_list = all_args.data();
-  PJRT_Event* done = nullptr;
 
   PJRT_ExecuteOptions opts;
   memset(&opts, 0, sizeof(opts));
@@ -376,71 +406,109 @@ int ps_execute(void* handle, const void* const* args_data,
   ex.num_devices = 1;
   ex.num_args = all_args.size();
   ex.output_lists = &out_list;
-  ex.device_complete_events = &done;
+  ex.device_complete_events = &fl.done;
   ex.execute_device = s->device;
-  double t1 = now_ms();
-  s->t_h2d_ms = t1 - t0;
-  bool ok = check(s, s->api->PJRT_LoadedExecutable_Execute(&ex), "execute");
-  if (ok) ok = await_event(s, done, "execute_event");
-  double t2 = now_ms();
-  s->t_exec_ms = t2 - t1;
-
-  destroy_inputs();
-  if (!ok) {
-    for (auto* buf : outs) destroy_buf(buf);
+  if (!check(s, s->api->PJRT_LoadedExecutable_Execute(&ex), "execute")) {
+    drop_inflight(s, &fl);
     return -1;
   }
-  auto fail_outputs_from = [&](size_t j) {
-    for (size_t k = j; k < outs.size(); ++k) destroy_buf(outs[k]);
-  };
+  fl.t_dispatch_ms = now_ms() - t0;
+  s->inflight.push_back(std::move(fl));
+  return static_cast<int>(s->inflight.size());
+}
 
-  // read back every output
-  s->out_dims.assign(s->num_outputs, {});
-  s->out_types.assign(s->num_outputs, -1);
-  s->out_data.assign(s->num_outputs, {});
-  for (size_t i = 0; i < s->num_outputs; i++) {
-    PJRT_Buffer* buf = outs[i];
+// Harvest the OLDEST in-flight execution: await its completion, read all
+// outputs back (one overlapped wave of transfers, static metadata cached
+// after the first batch), free its buffers. Returns the number of
+// outputs readable via ps_output_*, or -1.
+int ps_await_next(void* handle) {
+  Shim* s = static_cast<Shim*>(handle);
+  if (s->inflight.empty()) {
+    s->last_error = "await: nothing in flight";
+    return -1;
+  }
+  Inflight fl = std::move(s->inflight.front());
+  s->inflight.erase(s->inflight.begin());
+  s->t_h2d_ms = fl.t_dispatch_ms;
 
-    PJRT_Buffer_Dimensions_Args dd;
-    memset(&dd, 0, sizeof(dd));
-    dd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
-    dd.buffer = buf;
-    if (!check(s, s->api->PJRT_Buffer_Dimensions(&dd), "dims")) {
-      fail_outputs_from(i);
-      return -1;
+  double t1 = now_ms();
+  bool ok = true;
+  for (auto* ev : fl.h2d_events) ok &= await_event(s, ev, "h2d_event");
+  fl.h2d_events.clear();
+  if (ok) ok = await_event(s, fl.done, "execute_event");
+  fl.done = nullptr;
+  for (auto* buf : fl.inputs) destroy_buf(s, buf);
+  fl.inputs.clear();
+  double t2 = now_ms();
+  s->t_exec_ms = t2 - t1;
+  if (!ok) {
+    for (auto* buf : fl.outputs) destroy_buf(s, buf);
+    return -1;
+  }
+
+  // ---- static output metadata: query once, reuse forever ----
+  // Dimensions / ElementType / host-copy byte size are fixed by the
+  // compiled program; on the remote axon transport each query is a full
+  // round-trip, so re-asking every batch tripled the readback latency.
+  if (!s->meta_cached) {
+    s->out_dims.assign(s->num_outputs, {});
+    s->out_types.assign(s->num_outputs, -1);
+    s->cached_nbytes.assign(s->num_outputs, 0);
+    for (size_t i = 0; i < s->num_outputs; i++) {
+      PJRT_Buffer* buf = fl.outputs[i];
+      PJRT_Buffer_Dimensions_Args dd;
+      memset(&dd, 0, sizeof(dd));
+      dd.struct_size = PJRT_Buffer_Dimensions_Args_STRUCT_SIZE;
+      dd.buffer = buf;
+      if (!check(s, s->api->PJRT_Buffer_Dimensions(&dd), "dims")) {
+        for (auto* b2 : fl.outputs) destroy_buf(s, b2);
+        return -1;
+      }
+      s->out_dims[i].assign(dd.dims, dd.dims + dd.num_dims);
+
+      PJRT_Buffer_ElementType_Args et;
+      memset(&et, 0, sizeof(et));
+      et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+      et.buffer = buf;
+      if (!check(s, s->api->PJRT_Buffer_ElementType(&et), "etype")) {
+        for (auto* b2 : fl.outputs) destroy_buf(s, b2);
+        return -1;
+      }
+      s->out_types[i] = static_cast<int>(et.type);
     }
-    s->out_dims[i].assign(dd.dims, dd.dims + dd.num_dims);
+  }
 
-    PJRT_Buffer_ElementType_Args et;
-    memset(&et, 0, sizeof(et));
-    et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
-    et.buffer = buf;
-    if (!check(s, s->api->PJRT_Buffer_ElementType(&et), "etype")) {
-      fail_outputs_from(i);
-      return -1;
-    }
-    s->out_types[i] = static_cast<int>(et.type);
-
-    // request an explicit dense row-major host layout: with host_layout
-    // null PJRT copies in the SOURCE buffer's layout, and the TPU
-    // compiler is free to pick a permuted/tiled layout per output —
-    // which scrambled e.g. the (B, 4, 2) corners and the 5-D head maps
-    // while same-layout outputs compared exact (the
-    // reports/pjrt_roundtrip.json ok=false signature). The axon plugin
-    // rejects Strides host layouts ("only dense minor_to_major layouts
-    // are handled"), matching jaxlib's ToLiteral path which always
-    // passes Tiled — so express row-major as a tile-less Tiled layout
-    // with minor_to_major = [rank-1, ..., 0].
-    std::vector<int64_t> m2m(s->out_dims[i].size());
-    for (size_t k = 0; k < m2m.size(); k++)
-      m2m[k] = static_cast<int64_t>(m2m.size() - 1 - k);
+  // request an explicit dense row-major host layout: with host_layout
+  // null PJRT copies in the SOURCE buffer's layout, and the TPU
+  // compiler is free to pick a permuted/tiled layout per output —
+  // which scrambled e.g. the (B, 4, 2) corners and the 5-D head maps
+  // while same-layout outputs compared exact (the
+  // reports/pjrt_roundtrip.json ok=false signature). The axon plugin
+  // rejects Strides host layouts ("only dense minor_to_major layouts
+  // are handled"), matching jaxlib's ToLiteral path which always
+  // passes Tiled — so express row-major as a tile-less Tiled layout
+  // with minor_to_major = [rank-1, ..., 0].
+  //
+  // All transfers are STARTED first and the events awaited afterwards:
+  // N sequential await round-trips collapse into one wave in flight at
+  // once (the d2h bottleneck was latency, not bytes — the serving
+  // outputs total a few KB).
+  s->out_data.resize(s->num_outputs);
+  std::vector<PJRT_Event*> d2h_events(s->num_outputs, nullptr);
+  std::vector<std::vector<int64_t>> m2ms(s->num_outputs);
+  bool started_ok = true;
+  for (size_t i = 0; i < s->num_outputs && started_ok; i++) {
+    PJRT_Buffer* buf = fl.outputs[i];
+    m2ms[i].resize(s->out_dims[i].size());
+    for (size_t k = 0; k < m2ms[i].size(); k++)
+      m2ms[i][k] = static_cast<int64_t>(m2ms[i].size() - 1 - k);
     PJRT_Buffer_MemoryLayout layout;
     memset(&layout, 0, sizeof(layout));
     layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
     layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
     layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
-    layout.tiled.minor_to_major = m2m.data();
-    layout.tiled.minor_to_major_size = m2m.size();
+    layout.tiled.minor_to_major = m2ms[i].data();
+    layout.tiled.minor_to_major_size = m2ms[i].size();
     layout.tiled.tile_dims = nullptr;
     layout.tiled.tile_dim_sizes = nullptr;
     layout.tiled.num_tiles = 0;
@@ -450,30 +518,48 @@ int ps_execute(void* handle, const void* const* args_data,
     th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
     th.src = buf;
     th.host_layout = &layout;
-    th.dst = nullptr;                // size query
-    if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h_size")) {
-      fail_outputs_from(i);
-      return -1;
+    if (!s->meta_cached) {
+      th.dst = nullptr;              // size query (first batch only)
+      if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h_size")) {
+        started_ok = false;
+        break;
+      }
+      s->cached_nbytes[i] = static_cast<int64_t>(th.dst_size);
     }
-    s->out_data[i].resize(th.dst_size);
+    s->out_data[i].resize(static_cast<size_t>(s->cached_nbytes[i]));
     th.dst = s->out_data[i].data();
+    th.dst_size = static_cast<size_t>(s->cached_nbytes[i]);
     if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h")) {
-      fail_outputs_from(i);
-      return -1;
+      started_ok = false;
+      break;
     }
-    if (!await_event(s, th.event, "d2h_event")) {
-      fail_outputs_from(i);
-      return -1;
-    }
-
-    PJRT_Buffer_Destroy_Args d;
-    memset(&d, 0, sizeof(d));
-    d.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    d.buffer = buf;
-    s->api->PJRT_Buffer_Destroy(&d);
+    d2h_events[i] = th.event;
   }
+  for (size_t i = 0; i < s->num_outputs; i++) {
+    if (!await_event(s, d2h_events[i], "d2h_event")) started_ok = false;
+    destroy_buf(s, fl.outputs[i]);
+  }
+  fl.outputs.clear();
+  if (!started_ok) return -1;
+  s->meta_cached = true;
   s->t_d2h_ms = now_ms() - t2;
   return static_cast<int>(s->num_outputs);
+}
+
+int ps_num_inflight(void* handle) {
+  return static_cast<int>(static_cast<Shim*>(handle)->inflight.size());
+}
+
+// Synchronous execute (dispatch + harvest): the original API, kept for
+// the roundtrip tool and PjrtEngine; single-batch callers still gain the
+// cached-metadata + overlapped-readback path.
+int ps_execute(void* handle, const void* const* args_data,
+               const int64_t* const* args_dims, const int* args_ndims,
+               const int* args_types, int n_args) {
+  if (ps_execute_async(handle, args_data, args_dims, args_ndims,
+                       args_types, n_args) < 0)
+    return -1;
+  return ps_await_next(handle);
 }
 
 // Per-stage wall times of the last ps_execute: out[0..2] = h2d ms,
@@ -514,6 +600,8 @@ void ps_output_read(void* handle, int i, void* dst) {
 
 void ps_destroy(void* handle) {
   Shim* s = static_cast<Shim*>(handle);
+  for (auto& fl : s->inflight) drop_inflight(s, &fl);
+  s->inflight.clear();
   for (auto* buf : s->persistent) {
     PJRT_Buffer_Destroy_Args d;
     memset(&d, 0, sizeof(d));

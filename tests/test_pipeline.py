@@ -33,6 +33,19 @@ def tiny_carlp_spec():
         channels=[4, 8, 8, 16, 16, 32, 32])
 
 
+def test_resolve_warp_impl():
+    """Default is the A/B-winning matmul unwarp; the spec key overrides;
+    anything else fails fast (a typo must not silently run gather)."""
+    from yolo_tpu.pipeline import resolve_warp_impl
+    assert resolve_warp_impl(None) == "matmul"
+    assert resolve_warp_impl(None, builtin_spec("carlp_v1")) == "matmul"
+    spec = builtin_spec("carlp_v1").replace(warp_impl="gather")
+    assert resolve_warp_impl(None, spec) == "gather"
+    assert resolve_warp_impl("gather", spec) == "gather"
+    with pytest.raises(ValueError):
+        resolve_warp_impl("matmull")
+
+
 def test_pad_frames():
     x = jnp.ones((2, 30, 40, 3))
     y = pad_frames_to(x, (64, 96), fill=0.0)
@@ -79,6 +92,36 @@ def test_joint_pipeline_with_padding():
     assert res.crops.shape == (2, 160, 384, 3)
     # azimuth slot is a finite angle
     assert np.all(np.abs(np.asarray(res.car[:, 5])) <= np.pi + 1e-5)
+
+
+def test_joint_pipeline_depth_fusion():
+    """With an aligned depth map, car slot 5 must carry the depth at the
+    detected box centre (reference car/video_node.py:235-243) in both
+    argmax and top-k serving modes; without depth it stays azimuth."""
+    joint_task = make_task("carlp", tiny_carlp_spec())
+    ocr_task = make_task("ocr", tiny_ocr_spec())
+    k = jax.random.PRNGKey(2)
+    jv = joint_task.init_variables(k)
+    ov = ocr_task.init_variables(k)
+    frames = jax.random.uniform(k, (2, 64, 96, 3))
+    # depth plane whose value encodes the pixel row: depth[y, x] = y
+    depth = jnp.tile(jnp.arange(64, dtype=jnp.float32)[None, :, None],
+                     (2, 1, 96))
+
+    for topk in (0, 3):
+        pipe = JointPipeline(joint_task, ocr_task, topk=topk)
+        f = pipe.jit()
+        res = f(jv, ov, frames, depth=depth)
+        car = np.asarray(res.car)
+        if topk:
+            cy = (car[..., 2] + car[..., 4]) * 0.5
+        else:
+            cy = car[..., 1]
+        expect = np.clip((cy * 64).astype(np.int32), 0, 63)
+        np.testing.assert_allclose(car[..., 5], expect, atol=1e-5)
+        # default path unchanged: azimuth in slot 5
+        res0 = f(jv, ov, frames)
+        assert np.all(np.abs(np.asarray(res0.car[..., 5])) <= np.pi + 1e-5)
 
 
 def test_pipeline_is_one_program():

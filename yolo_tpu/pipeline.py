@@ -31,6 +31,27 @@ from yolo_tpu.ops.geometry import CameraIntrinsics, PlateProjector
 
 OCR_HW = (160, 384)       # OCR input strip (reference OCR/OCR.py:219)
 
+WARP_IMPLS = ("matmul", "gather")
+
+
+def resolve_warp_impl(impl, spec=None) -> str:
+    """Resolve + validate the rectification implementation.
+
+    ``None`` falls through to the spec key ``warp_impl`` (so deployments
+    pin it in spec.yaml next to the weights), then to 'matmul' — the
+    chip-recorded A/B winner (reports/bench_warp_matmul.json 1433.7 FPS
+    vs 1083.8 gather at equal cascade accuracy,
+    reports/eval_warp_matmul.json). Anything outside WARP_IMPLS raises:
+    a silent fall-through to gather would record a typo'd run as matmul.
+    """
+    if impl is None:
+        impl = spec.get("warp_impl", "matmul") if spec is not None \
+            else "matmul"
+    if impl not in WARP_IMPLS:
+        raise ValueError(
+            f"warp_impl must be one of {WARP_IMPLS}, got {impl!r}")
+    return impl
+
 
 def _unwarp(images, corners, sample_hw, impl: str):
     """Select the rectification implementation: 'gather' (reduced-res
@@ -127,6 +148,28 @@ def _to_frame_coords(car, corners, frame_hw, net_hw, topk: int):
     return car, corners
 
 
+def sample_depth_at_boxes(depth, car, topk: int):
+    """Depth at each detected box centre, vectorised as one gather.
+
+    ``depth``: (B, H, W) f32 aligned with the caller's frames. ``car``:
+    frame-normalised rows from _to_frame_coords — [score, y, x, h, w, ...]
+    (argmax mode) or [score, l, t, r, b, ...] per top-k row. Matches the
+    reference's nearest-pixel read ``net_dep[int(H*y), int(W*x)]``
+    (car/video_node.py:238-240)."""
+    B, H, W = depth.shape
+    if topk:
+        cy = (car[..., 2] + car[..., 4]) * 0.5
+        cx = (car[..., 1] + car[..., 3]) * 0.5
+    else:
+        cy, cx = car[..., 1], car[..., 2]
+    yi = jnp.clip((cy * H).astype(jnp.int32), 0, H - 1)
+    xi = jnp.clip((cx * W).astype(jnp.int32), 0, W - 1)
+    flat = depth.reshape(B, H * W)
+    idx = yi * W + xi                       # (B,) or (B, k)
+    return jnp.take_along_axis(
+        flat, idx.reshape(B, -1), axis=1).reshape(idx.shape)
+
+
 class ALPRPipeline:
     """LPD (LPDenseNet) -> unwarp -> OCR, one program.
 
@@ -141,14 +184,14 @@ class ALPRPipeline:
 
     def __init__(self, lp_task, ocr_task,
                  camera: CameraIntrinsics = CameraIntrinsics(),
-                 unwarp_sample_hw=(64, 160), warp_impl: str = "gather",
+                 unwarp_sample_hw=(64, 160), warp_impl: str = None,
                  decode_impl: str = "xla"):
         self.lp_task = lp_task
         self.ocr_task = ocr_task
         self.spec = lp_task.spec
         self.projector = PlateProjector(camera=camera)
         self.unwarp_sample_hw = unwarp_sample_hw
-        self.warp_impl = warp_impl
+        self.warp_impl = resolve_warp_impl(warp_impl, self.spec)
         self._decode_lp = (decode_lp_pallas if decode_impl == "pallas"
                            else decode_lp)
 
@@ -182,7 +225,7 @@ class JointPipeline:
 
     def __init__(self, joint_task, ocr_task,
                  camera: CameraIntrinsics = CameraIntrinsics(),
-                 unwarp_sample_hw=(64, 160), warp_impl: str = "gather",
+                 unwarp_sample_hw=(64, 160), warp_impl: str = None,
                  decode_impl: str = "xla", topk: int = 0,
                  nms_iou: float = 0.45):
         self.joint_task = joint_task
@@ -190,7 +233,7 @@ class JointPipeline:
         self.spec = joint_task.spec
         self.projector = PlateProjector(camera=camera)
         self.unwarp_sample_hw = unwarp_sample_hw
-        self.warp_impl = warp_impl
+        self.warp_impl = resolve_warp_impl(warp_impl, self.spec)
         # topk > 0: multi-object serving — JointResult.car becomes
         # (B, topk, 6+C) NMS-kept rows instead of the reference-parity
         # argmax (B, 6+C) (car/YOLO.py:584 takes one box per image)
@@ -204,7 +247,16 @@ class JointPipeline:
             self.spec.size, self.spec.steps, self.spec.all_anchors)
         self.cos_off, self.sin_off = make_angle_offsets(self.spec.classes)
 
-    def __call__(self, joint_variables, ocr_variables, frames) -> JointResult:
+    def __call__(self, joint_variables, ocr_variables, frames,
+                 depth=None) -> JointResult:
+        """``depth`` (optional, (B, H, W) f32 in the CALLER's frame, e.g.
+        a ZED/RGBD stream aligned with ``frames``): when given, car slot
+        5 carries the depth sampled at each detected box centre — the
+        reference's data[5]-is-depth contract (car/video_node.py:235-243;
+        there the subsequent azimuth write clobbered it, here the caller
+        chooses). Without depth, slot 5 is the circular-expectation
+        azimuth as before; consumers can always recover azimuth from the
+        class logits via ops.math.cls2ang."""
         spec = self.spec
         net_hw = tuple(spec.size)
         images = pad_frames_to(frames, net_hw)
@@ -236,6 +288,9 @@ class JointPipeline:
                          class_x.astype(jnp.float32))
         car, corners = _to_frame_coords(
             car, corners, tuple(frames.shape[1:3]), net_hw, self.topk)
+        if depth is not None:
+            car = car.at[..., 5].set(
+                sample_depth_at_boxes(depth, car, self.topk))
         return JointResult(car=car, lp=lp_pred, corners=corners, crops=crops,
                            ocr_scores=ocr.scores, ocr_cls=ocr.peak_cls)
 

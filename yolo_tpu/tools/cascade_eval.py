@@ -51,7 +51,7 @@ def main(argv=None):
     p.add_argument("--sample-hw", default=None,
                    help="unwarp sampling resolution 'HxW' (pipeline "
                         "default when unset)")
-    p.add_argument("--warp-impl", default="gather",
+    p.add_argument("--warp-impl", default="matmul",
                    choices=["gather", "matmul"])
     p.add_argument("--decode-impl", default="xla",
                    choices=["xla", "pallas"])
