@@ -9,7 +9,14 @@
 //
 //   pjrt_node <plugin.so> <module.mlir> <frame_h> <frame_w>
 //             <net_h> <net_w> <batch> <frames.raw> [max_batches]
-//             [weights.bin] [dump_dir]
+//             [weights.bin] [dump_dir] [u8] [depth]
+//
+// depth (default 2): dispatch pipeline depth. With depth D the loop keeps
+// up to D batches in flight (ps_execute_async) and harvests the oldest
+// (ps_await_next) only when the FIFO is full — batch N's readback
+// round-trips over the transport overlap batch N+1's upload + execute
+// instead of serializing with them. depth 1 reproduces the synchronous
+// dispatch-then-harvest loop.
 //
 // frames.raw: concatenated H*W*3 uint8 RGB frames (e.g. from
 //   ffmpeg -i in.mp4 -f rawvideo -pix_fmt rgb24 frames.raw
@@ -59,9 +66,11 @@ const char* ps_last_error(void* handle);
 int ps_compile(void* handle, const char* code, size_t code_size);
 int ps_upload(void* handle, const void* data, const int64_t* dims,
               int ndims, int type);
-int ps_execute(void* handle, const void* const* args_data,
-               const int64_t* const* args_dims, const int* args_ndims,
-               const int* args_types, int n_args);
+int ps_execute_async(void* handle, const void* const* args_data,
+                     const int64_t* const* args_dims, const int* args_ndims,
+                     const int* args_types, int n_args);
+int ps_await_next(void* handle);
+int ps_num_inflight(void* handle);
 int ps_output_rank(void* handle, int i);
 void ps_output_dims(void* handle, int i, int64_t* dims_out);
 int64_t ps_output_nbytes(void* handle, int i);
@@ -154,6 +163,8 @@ int main(int argc, char** argv) {
   // "u8": stream raw uint8 frames and let the device program do the
   // letterbox + /255 normalize — 4x less H2D traffic than f32 batches
   const bool u8_input = argc > 12 && strcmp(argv[12], "u8") == 0;
+  int depth = argc > 13 ? atoi(argv[13]) : 2;
+  if (depth < 1) depth = 1;
 
   // ---- load + compile the StableHLO module ----
   FILE* f = fopen(module_path, "rb");
@@ -202,77 +213,48 @@ int main(int argc, char** argv) {
   void* ring = fp_ring_create(capacity, fh, fw);
   fp_start_raw_stream(ring, frames_path);
 
-  std::vector<float> buf(
-      u8_input ? 0 : static_cast<size_t>(batch) * nh * nw * 3);
-  std::vector<uint8_t> ubuf(
-      u8_input ? static_cast<size_t>(batch) * fh * fw * 3 : 0);
+  // depth host buffer slots: an async dispatch's host memory must stay
+  // valid until its harvest (kImmutableUntilTransferCompletes h2d events
+  // are awaited in ps_await_next), so each in-flight batch owns a slot
+  const size_t fbuf_sz = u8_input ? 0 : static_cast<size_t>(batch) * nh *
+                                            nw * 3;
+  const size_t ubuf_sz = u8_input ? static_cast<size_t>(batch) * fh * fw *
+                                        3 : 0;
+  std::vector<std::vector<float>> bufs(depth, std::vector<float>(fbuf_sz));
+  std::vector<std::vector<uint8_t>> ubufs(depth,
+                                          std::vector<uint8_t>(ubuf_sz));
   const int64_t dims[4] = {batch, u8_input ? fh : nh, u8_input ? fw : nw,
                            3};
-  const void* data[1] = {u8_input ? static_cast<const void*>(ubuf.data())
-                                  : static_cast<const void*>(buf.data())};
   const int64_t* dimp[1] = {dims};
   const int ndims[1] = {4};
   const int types[1] = {u8_input ? 2 : 0};  // u8 | f32
 
-  int batches = 0;
+  int dispatched = 0, harvested = 0;
   int frames_served = 0;
-  double first_ms = 0.0, steady_ms = 0.0;
+  bool eos = false;
+  double first_ms = 0.0;
   double stage_ms[3] = {0, 0, 0};        // steady-state h2d/exec/d2h sums
-  while (max_batches == 0 || batches < max_batches) {
-    // accumulate a FULL batch unless the stream ended: padding on mere
-    // producer lag would duplicate frames mid-stream and shift every
-    // later batch against the verifier's reference
-    int got = 0;
-    while (got < batch) {
-      int k = u8_input
-                  ? fp_ring_pop_batch_u8(
-                        ring, ubuf.data() + static_cast<size_t>(got) *
-                                                fh * fw * 3,
-                        batch - got)
-                  : fp_ring_pop_batch(
-                        ring, buf.data() + static_cast<size_t>(got) *
-                                               nh * nw * 3,
-                        batch - got, nh, nw, 0.5f);
-      got += k;
-      if (got >= batch || fp_ring_eos(ring)) break;
-      if (k == 0)
-        std::this_thread::sleep_for(std::chrono::milliseconds(1));
-    }
-    if (got == 0) break;               // eos and nothing left
-    frames_served += got;
-    // partial TAIL batch (eos): repeat the last frame to keep the
-    // shape static
-    if (u8_input) {
-      const size_t fsz = static_cast<size_t>(fh) * fw * 3;
-      for (int i = got; i < batch; i++)
-        memcpy(ubuf.data() + i * fsz, ubuf.data() + (got - 1) * fsz, fsz);
-    } else {
-      const size_t fsz = static_cast<size_t>(nh) * nw * 3;
-      for (int i = got; i < batch; i++)
-        memcpy(buf.data() + i * fsz, buf.data() + (got - 1) * fsz,
-               fsz * sizeof(float));
-    }
+  auto t_start = std::chrono::steady_clock::now();
+  auto t_first_done = t_start, t_last_done = t_start;
 
-    auto t0 = std::chrono::steady_clock::now();
-    int n_out = ps_execute(eng, data, dimp, ndims, types, 1);
+  auto harvest_one = [&]() -> bool {
+    int n_out = ps_await_next(eng);
     if (n_out < 0) {
-      fprintf(stderr, "execute: %s\n", ps_last_error(eng));
-      return 1;
+      fprintf(stderr, "await: %s\n", ps_last_error(eng));
+      return false;
     }
-    double ms = std::chrono::duration<double, std::milli>(
-                    std::chrono::steady_clock::now() - t0)
-                    .count();
-    if (batches == 0) {
-      first_ms = ms;      // includes device warm-up / first dispatch
+    auto now = std::chrono::steady_clock::now();
+    if (harvested == 0) {
+      first_ms = std::chrono::duration<double, std::milli>(now - t_start)
+                     .count();       // warm-up: dispatch + first execute
+      t_first_done = now;
     } else {
-      steady_ms += ms;
       double t[3];
       ps_last_timings(eng, t);
       for (int k = 0; k < 3; k++) stage_ms[k] += t[k];
     }
-    batches++;
-
-    if (dump_dir) dump_outputs(eng, dump_dir, batches - 1, n_out);
+    t_last_done = now;
+    if (dump_dir) dump_outputs(eng, dump_dir, harvested, n_out);
 
     // print the first row of output 0 (car detection row)
     int rank = ps_output_rank(eng, 0);
@@ -281,22 +263,85 @@ int main(int argc, char** argv) {
     int64_t cols = rank >= 2 ? od[rank - 1] : 1;
     std::vector<float> out(ps_output_nbytes(eng, 0) / sizeof(float));
     ps_output_read(eng, 0, out.data());
-    printf("batch %d (%d frames, %.2f ms):", batches, got, ms);
+    printf("batch %d (inflight %d):", harvested + 1,
+           ps_num_inflight(eng));
     for (int64_t c = 0; c < cols && c < 6; c++) printf(" %.4f", out[c]);
     printf("\n");
-  }
+    harvested++;
+    return true;
+  };
 
+  while (!eos && (max_batches == 0 || dispatched < max_batches)) {
+    // accumulate a FULL batch unless the stream ended: padding on mere
+    // producer lag would duplicate frames mid-stream and shift every
+    // later batch against the verifier's reference
+    const int slot = dispatched % depth;
+    float* fslot = bufs[slot].data();
+    uint8_t* uslot = ubufs[slot].data();
+    int got = 0;
+    while (got < batch) {
+      int k = u8_input
+                  ? fp_ring_pop_batch_u8(
+                        ring, uslot + static_cast<size_t>(got) * fh * fw *
+                                          3,
+                        batch - got)
+                  : fp_ring_pop_batch(
+                        ring, fslot + static_cast<size_t>(got) * nh * nw *
+                                          3,
+                        batch - got, nh, nw, 0.5f);
+      got += k;
+      if (got >= batch || fp_ring_eos(ring)) break;
+      if (k == 0)
+        std::this_thread::sleep_for(std::chrono::milliseconds(1));
+    }
+    if (got == 0) break;               // eos and nothing left
+    eos = fp_ring_eos(ring) && fp_ring_size(ring) == 0;
+    frames_served += got;
+    // partial TAIL batch (eos): repeat the last frame to keep the
+    // shape static
+    if (u8_input) {
+      const size_t fsz = static_cast<size_t>(fh) * fw * 3;
+      for (int i = got; i < batch; i++)
+        memcpy(uslot + i * fsz, uslot + (got - 1) * fsz, fsz);
+    } else {
+      const size_t fsz = static_cast<size_t>(nh) * nw * 3;
+      for (int i = got; i < batch; i++)
+        memcpy(fslot + i * fsz, fslot + (got - 1) * fsz,
+               fsz * sizeof(float));
+    }
+
+    const void* data[1] = {u8_input ? static_cast<const void*>(uslot)
+                                    : static_cast<const void*>(fslot)};
+    if (ps_execute_async(eng, data, dimp, ndims, types, 1) < 0) {
+      fprintf(stderr, "execute: %s\n", ps_last_error(eng));
+      return 1;
+    }
+    dispatched++;
+    // harvest only when the pipeline is full: the oldest batch's
+    // readback overlaps the batches still executing behind it
+    if (ps_num_inflight(eng) >= depth && !harvest_one()) return 1;
+  }
+  while (ps_num_inflight(eng) > 0)     // drain the tail of the pipeline
+    if (!harvest_one()) return 1;
+
+  const int batches = harvested;
   const int steady_batches = batches > 1 ? batches - 1 : 0;
+  // pipelined throughput is wall-clock between harvests, NOT the sum of
+  // per-call latencies (dispatch N+1 runs inside harvest N's window)
+  const double steady_wall = std::chrono::duration<double, std::milli>(
+                                 t_last_done - t_first_done)
+                                 .count();
   const double steady_mean =
-      steady_batches ? steady_ms / steady_batches : 0.0;
+      steady_batches ? steady_wall / steady_batches : 0.0;
   const double denom = steady_batches ? steady_batches : 1;
   printf(
       "{\"batches\": %d, \"frames\": %d, \"compile_ms\": %.0f, "
       "\"weights_upload_ms\": %.0f, \"n_weight_tensors\": %d, "
+      "\"pipeline_depth\": %d, "
       "\"first_batch_ms\": %.3f, \"steady_ms_per_batch\": %.3f, "
       "\"steady_fps\": %.1f, \"steady_h2d_ms\": %.3f, "
       "\"steady_exec_ms\": %.3f, \"steady_d2h_ms\": %.3f}\n",
-      batches, frames_served, compile_ms, weights_ms, n_weights,
+      batches, frames_served, compile_ms, weights_ms, n_weights, depth,
       first_ms, steady_mean,
       steady_mean > 0 ? batch / (steady_mean / 1e3) : 0.0,
       stage_ms[0] / denom, stage_ms[1] / denom, stage_ms[2] / denom);

@@ -178,3 +178,56 @@ def test_axon_create_options_env_shape():
         assert rest[0] in "isb" and rest[1] == ":"
     # non-axon plugins get no options
     assert axon_create_options_env("/usr/lib/libtpu.so") == ""
+
+
+def test_compare_cls_ids_peak_shift_keeps_plate():
+    """A one-column peak shift flips two column entries but leaves the
+    decoded plate string intact — the gate the serving verifier uses
+    for argmax-id outputs (element rel-err is meaningless for ids)."""
+    from yolo_tpu.tools.pjrt_node_demo import compare_cls_ids
+    want = np.full((4, 8), -1, np.int32)
+    want[:, 2], want[:, 5] = 7, 12
+    got = want.copy()
+    got[0, 2], got[0, 3] = -1, 7          # peak shifted one column right
+    r = compare_cls_ids(got, want)
+    assert r["plate_match"] == 1.0        # same decoded string
+    assert 0 < r["col_mismatch_frac"] <= 2 / 32
+    got[1, 5] = 13                        # a genuinely different char
+    r = compare_cls_ids(got, want)
+    assert r["plate_match"] == 0.75
+
+
+def test_packed_export_concatenates_all_outputs():
+    """--packed mode: the serving fn returns ONE (B, K) f32 tensor whose
+    column spans slice back into car/lp/corners/ocr exactly (one d2h
+    latency wave per batch on the remote transport instead of five)."""
+    import jax.numpy as jnp
+    from yolo_tpu.tools.pjrt_node_demo import packed_sections
+    B = 2
+    outs = [np.arange(B * 86, dtype=np.float32).reshape(B, 86),
+            np.ones((B, 7), np.float32),
+            np.zeros((B, 4, 2), np.float32),
+            np.ones((B, 24), np.float32),
+            np.full((B, 24), -1, np.int32)]
+    spans = packed_sections(outs)
+    assert spans == [("car", 0, 86), ("lp", 86, 93), ("corners", 93, 101),
+                     ("ocr_scores", 101, 125), ("ocr_cls", 125, 149)]
+    packed = jnp.concatenate(
+        [jnp.asarray(o).reshape(B, -1).astype(jnp.float32) for o in outs],
+        axis=1)
+    assert packed.shape == (B, 149)
+    for (name, lo, hi), o in zip(spans, outs):
+        np.testing.assert_array_equal(
+            np.asarray(packed[:, lo:hi]),
+            np.asarray(o, np.float32).reshape(B, -1))
+
+
+def test_pjrt_engine_async_api_bound():
+    """The ctypes bindings expose the pipelined dispatch API (symbols
+    present in the built shim; actual execution needs a plugin)."""
+    from yolo_tpu.serve.native import load_pjrt_library
+    lib = load_pjrt_library(build=True)
+    if lib is None:
+        pytest.skip("no C++ toolchain / PJRT header available")
+    for sym in ("ps_execute_async", "ps_await_next", "ps_num_inflight"):
+        assert hasattr(lib, sym)

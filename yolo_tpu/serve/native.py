@@ -178,6 +178,12 @@ def load_pjrt_library(build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int]
+    lib.ps_execute_async.restype = ctypes.c_int
+    lib.ps_execute_async.argtypes = lib.ps_execute.argtypes
+    lib.ps_await_next.restype = ctypes.c_int
+    lib.ps_await_next.argtypes = [ctypes.c_void_p]
+    lib.ps_num_inflight.restype = ctypes.c_int
+    lib.ps_num_inflight.argtypes = [ctypes.c_void_p]
     lib.ps_output_rank.restype = ctypes.c_int
     lib.ps_output_rank.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.ps_output_dims.argtypes = [ctypes.c_void_p, ctypes.c_int,
@@ -233,6 +239,7 @@ class PjrtEngine:
         if not self._ptr:
             raise RuntimeError(f"PJRT client creation failed for "
                                f"{plugin_path}")
+        self._inflight_refs = []        # keep dispatched host args alive
         if module_bytes is None:
             with open(module_path, "rb") as f:
                 module_bytes = f.read()
@@ -262,7 +269,7 @@ class PjrtEngine:
                                self.lib.ps_last_error(self._ptr).decode())
         return idx
 
-    def __call__(self, *args: np.ndarray):
+    def _pack_args(self, args):
         n = len(args)
         arrs = [np.ascontiguousarray(a) for a in args]
         data = (ctypes.c_void_p * n)(
@@ -277,11 +284,9 @@ class PjrtEngine:
                 raise TypeError(f"unsupported input dtype {a.dtype}")
             return code
         types = (ctypes.c_int * n)(*[type_code(a) for a in arrs])
+        return arrs, data, dims, dim_arrays, ndims, types
 
-        n_out = self.lib.ps_execute(self._ptr, data, dims, ndims, types, n)
-        if n_out < 0:
-            raise RuntimeError("PJRT execute failed: " +
-                               self.lib.ps_last_error(self._ptr).decode())
+    def _read_outputs(self, n_out):
         outs = []
         for i in range(n_out):
             rank = self.lib.ps_output_rank(self._ptr, i)
@@ -296,6 +301,44 @@ class PjrtEngine:
             outs.append(raw.view(dt).reshape(shape) if dt is not None
                         else raw)
         return outs
+
+    def __call__(self, *args: np.ndarray):
+        arrs, data, dims, dim_arrays, ndims, types = self._pack_args(args)
+        n_out = self.lib.ps_execute(self._ptr, data, dims, ndims, types,
+                                    len(args))
+        if n_out < 0:
+            raise RuntimeError("PJRT execute failed: " +
+                               self.lib.ps_last_error(self._ptr).decode())
+        return self._read_outputs(n_out)
+
+    def execute_async(self, *args: np.ndarray) -> int:
+        """Dispatch without harvesting (ps_execute_async): returns the
+        in-flight depth. Pair each call with one ``await_next``; the host
+        arrays are kept referenced here until their harvest (the shim
+        only awaits the h2d transfer-done events then)."""
+        packed = self._pack_args(args)
+        arrs, data, dims, dim_arrays, ndims, types = packed
+        depth = self.lib.ps_execute_async(self._ptr, data, dims, ndims,
+                                          types, len(args))
+        if depth < 0:
+            raise RuntimeError("PJRT dispatch failed: " +
+                               self.lib.ps_last_error(self._ptr).decode())
+        self._inflight_refs.append(packed)
+        return depth
+
+    def await_next(self):
+        """Harvest the oldest in-flight dispatch; returns its outputs."""
+        n_out = self.lib.ps_await_next(self._ptr)
+        if self._inflight_refs:
+            self._inflight_refs.pop(0)
+        if n_out < 0:
+            raise RuntimeError("PJRT await failed: " +
+                               self.lib.ps_last_error(self._ptr).decode())
+        return self._read_outputs(n_out)
+
+    @property
+    def num_inflight(self) -> int:
+        return self.lib.ps_num_inflight(self._ptr)
 
     def close(self):
         if self._ptr:

@@ -72,7 +72,7 @@ def toy_model():
 
 
 def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool,
-                u8_hw=None):
+                u8_hw=None, packed: bool = False):
     """The trained flagship: JointPipeline (CarLPNet + OCR cascade)."""
     from yolo_tpu.config import builtin_spec
     from yolo_tpu.pipeline import JointPipeline
@@ -122,10 +122,34 @@ def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool,
             for i in range(len(shapes))]
         jv2, ov2 = jax.tree_util.tree_unflatten(treedef, leaf_args)
         r = pipe(jv2, ov2, frames)
-        return (r.car, r.lp, r.corners, r.ocr_scores,
+        outs = (r.car, r.lp, r.corners, r.ocr_scores,
                 r.ocr_cls.astype(jnp.int32))
+        if packed:
+            # serving mode: ONE flat (B, K) f32 output — every d2h on
+            # the remote axon transport is latency-bound (a ToHostBuffer
+            # start + an event-await round-trip each), so 5 outputs cost
+            # 5 waves where 1 packed tensor costs 1. The host slices by
+            # the static PACKED_SECTIONS offsets; ocr_cls rides as f32
+            # (small ints are exact in f32).
+            B = frames.shape[0]
+            return (jnp.concatenate(
+                [o.reshape(B, -1).astype(jnp.float32) for o in outs],
+                axis=1),)
+        return outs
 
     return fn, [flat]
+
+
+def packed_sections(ref_out):
+    """(name, start, end) column spans of the packed serving tensor,
+    derived from one multi-output reference batch."""
+    names = ["car", "lp", "corners", "ocr_scores", "ocr_cls"]
+    spans, off = [], 0
+    for name, o in zip(names, ref_out):
+        w = int(np.prod(o.shape[1:]))
+        spans.append((name, off, off + w))
+        off += w
+    return spans
 
 
 def render_scenes(n_frames: int, fh: int, fw: int, classes, r_max,
@@ -155,27 +179,91 @@ def letterbox_np(frames_u8: np.ndarray, nh: int, nw: int,
     return out
 
 
+def _peak_string(row):
+    """Decoded plate: class ids at peak columns (-1 elsewhere), in
+    order. A one-column peak shift changes two column entries but not
+    the plate string — the quantity serving consumers actually read."""
+    return tuple(int(c) for c in row if c >= 0)
+
+
+def compare_cls_ids(got, want):
+    """Cross-backend check for an argmax-id output: element-wise rel-err
+    is meaningless for ids (id 14 vs 33 is one flipped argmax, not a 58%
+    numeric error — the round-3 output-5 0.576 signature). Report the
+    per-column mismatch fraction and scene-level decoded-string
+    agreement instead."""
+    mismatch = int((got != want).sum())
+    strings_eq = sum(
+        _peak_string(g) == _peak_string(w) for g, w in zip(got, want))
+    return {"col_mismatch_frac": mismatch / max(got.size, 1),
+            "plate_match": strings_eq / max(len(got), 1)}
+
+
 def compare_outputs(dump_dir: str, ref_batches, n_outputs: int):
     """Per-output element-wise check of the node's dumped outputs
-    against the jax reference for every batch."""
+    against the jax reference for every batch. Integer (argmax-id)
+    outputs are checked by mismatch fraction + decoded-string agreement
+    via compare_cls_ids, not by relative error."""
     per_output = []
     for o in range(n_outputs):
         max_rel, bad, total = 0.0, 0, 0
+        is_int = np.asarray(ref_batches[0][o]).dtype.kind == "i"
+        got_all, want_all = [], []
         for b, ref in enumerate(ref_batches):
             src = np.asarray(ref[o])
             want = src.astype(np.float32)
             path = os.path.join(dump_dir, f"b{b:03d}_o{o}.bin")
             raw = np.fromfile(path, np.uint8)
-            got = raw.view(
-                np.int32 if src.dtype.kind == "i" else np.float32)
+            got = raw.view(np.int32 if is_int else np.float32)
             got = got.astype(np.float32).reshape(want.shape)
+            if is_int:
+                got_all.append(got.reshape(got.shape[0], -1))
+                want_all.append(want.reshape(want.shape[0], -1))
+                continue
             denom = max(1e-6, float(np.abs(want).max()))
             rel = np.abs(got - want) / denom
             max_rel = max(max_rel, float(rel.max()))
             bad += int((rel > REL_TOL).sum())
             total += rel.size
-        per_output.append({"max_rel_err": max_rel,
-                           "bad_frac": bad / max(total, 1)})
+        if is_int:
+            per_output.append(compare_cls_ids(
+                np.concatenate(got_all), np.concatenate(want_all)))
+        else:
+            per_output.append({"max_rel_err": max_rel,
+                               "bad_frac": bad / max(total, 1)})
+    return per_output
+
+
+def compare_packed(dump_dir: str, ref_batches, spans):
+    """Packed serving mode: one (B, K) f32 output per batch, sliced by
+    ``spans`` into the logical sections and checked with the same
+    per-section gates as the multi-output mode."""
+    per_output = []
+    for name, lo, hi in spans:
+        max_rel, bad, total = 0.0, 0, 0
+        got_all, want_all = [], []
+        for b, ref in enumerate(ref_batches):
+            want = np.asarray(ref[0])[:, lo:hi]
+            path = os.path.join(dump_dir, f"b{b:03d}_o0.bin")
+            got = np.fromfile(path, np.uint8).view(np.float32)
+            got = got.reshape(np.asarray(ref[0]).shape)[:, lo:hi]
+            if name == "ocr_cls":
+                got_all.append(np.rint(got).astype(np.int32))
+                want_all.append(np.rint(want).astype(np.int32))
+                continue
+            denom = max(1e-6, float(np.abs(want).max()))
+            rel = np.abs(got - want) / denom
+            max_rel = max(max_rel, float(rel.max()))
+            bad += int((rel > REL_TOL).sum())
+            total += rel.size
+        if name == "ocr_cls":
+            entry = compare_cls_ids(
+                np.concatenate(got_all), np.concatenate(want_all))
+        else:
+            entry = {"max_rel_err": max_rel,
+                     "bad_frac": bad / max(total, 1)}
+        entry["section"] = name
+        per_output.append(entry)
     return per_output
 
 
@@ -199,13 +287,19 @@ def main(argv=None):
     p.add_argument("--u8", action="store_true",
                    help="stream raw uint8 frames; letterbox+normalize "
                         "run on device (carlp model only)")
+    p.add_argument("--packed", action="store_true",
+                   help="serving-mode export: all outputs concatenated "
+                        "into ONE (B, K) f32 tensor — one d2h latency "
+                        "wave per batch instead of five (carlp only)")
+    p.add_argument("--depth", type=int, default=2,
+                   help="node dispatch pipeline depth (1 = synchronous)")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--batches", type=int, default=2)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
-    if args.u8 and args.model != "carlp":
-        raise SystemExit("--u8 requires --model carlp")
+    if (args.u8 or args.packed) and args.model != "carlp":
+        raise SystemExit("--u8/--packed require --model carlp")
     binary = os.path.join(_NATIVE_DIR, "pjrt_node")
     subprocess.run(["make", "-C", _NATIVE_DIR, "pjrt_node"], check=True,
                    capture_output=True)
@@ -218,7 +312,8 @@ def main(argv=None):
         fh = fw = 416                 # flagship stream geometry
         nh = nw = 448                 # network canvas (letterboxed)
         fn, leaves = carlp_model(args.weights, args.ocr_weights, args.bf16,
-                                 u8_hw=(fh, fw) if args.u8 else None)
+                                 u8_hw=(fh, fw) if args.u8 else None,
+                                 packed=args.packed)
         spec = builtin_spec("carlp_v1")
         frames_u8 = render_scenes(n_frames, fh, fw, spec.classes,
                                   spec.LP_r_max)
@@ -263,9 +358,7 @@ def main(argv=None):
                        axon_create_options_env(args.plugin))
         argv = [binary, args.plugin, module, str(fh), str(fw), str(nh),
                 str(nw), str(B), raw, str(n_batches), weights_bin,
-                dump_dir]
-        if args.u8:
-            argv.append("u8")
+                dump_dir, "u8" if args.u8 else "f32", str(args.depth)]
         r = subprocess.run(argv, capture_output=True, text=True,
                            timeout=1800, env=env)
         print(r.stdout)
@@ -274,20 +367,43 @@ def main(argv=None):
             raise SystemExit(r.returncode)
 
         summary = json.loads(r.stdout.strip().splitlines()[-1])
-        per_output = compare_outputs(dump_dir, ref_batches, n_outputs)
+        if args.packed:
+            # section spans of the packed tensor (pipeline.py shapes:
+            # car (B, 6+C), lp (B, 7), corners (B, 4, 2),
+            # ocr_scores/ocr_cls (B, 24)); the total must tile the
+            # exported width exactly or the export changed shape
+            widths = [("car", 6 + len(spec.classes)), ("lp", 7),
+                      ("corners", 8), ("ocr_scores", 24), ("ocr_cls", 24)]
+            packed_k = int(np.asarray(ref_batches[0][0]).shape[1])
+            assert sum(w for _, w in widths) == packed_k, \
+                (widths, packed_k)
+            spans, off = [], 0
+            for name, w in widths:
+                spans.append((name, off, off + w))
+                off += w
+            per_output = compare_packed(dump_dir, ref_batches, spans)
+        else:
+            per_output = compare_outputs(dump_dir, ref_batches, n_outputs)
 
-    # verification verdict: every output within tolerance on (almost)
-    # every element; bf16 serving is compared loosely (timing mode)
+    # verification verdict: float sections within tolerance on (almost)
+    # every element; argmax-id sections by decoded-plate agreement
+    # (element rel-err is meaningless for class ids — see
+    # compare_cls_ids). bf16 serving is compared loosely (timing mode).
     bad_max = 0.25 if args.bf16 else BAD_FRAC_MAX
+    plate_min = 0.75 if args.bf16 else 0.9
     summary["model"] = args.model
     summary["dtype"] = "bfloat16" if args.bf16 else "float32"
     summary["input"] = "u8" if args.u8 else "f32"
+    summary["packed"] = bool(args.packed)
     summary["n_weight_tensors_expected"] = n_tensors
     summary["per_output"] = per_output
-    summary["max_rel_err"] = max(o["max_rel_err"] for o in per_output)
+    floats = [o for o in per_output if "max_rel_err" in o]
+    ids = [o for o in per_output if "plate_match" in o]
+    summary["max_rel_err"] = max(o["max_rel_err"] for o in floats)
     summary["ok"] = bool(
         summary["frames"] >= n_frames
-        and all(o["bad_frac"] <= bad_max for o in per_output))
+        and all(o["bad_frac"] <= bad_max for o in floats)
+        and all(o["plate_match"] >= plate_min for o in ids))
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
