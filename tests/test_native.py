@@ -197,29 +197,37 @@ def test_compare_cls_ids_peak_shift_keeps_plate():
     assert r["plate_match"] == 0.75
 
 
-def test_packed_export_concatenates_all_outputs():
-    """--packed mode: the serving fn returns ONE (B, K) f32 tensor whose
-    column spans slice back into car/lp/corners/ocr exactly (one d2h
-    latency wave per batch on the remote transport instead of five)."""
-    import jax.numpy as jnp
-    from yolo_tpu.tools.pjrt_node_demo import packed_sections
-    B = 2
-    outs = [np.arange(B * 86, dtype=np.float32).reshape(B, 86),
-            np.ones((B, 7), np.float32),
-            np.zeros((B, 4, 2), np.float32),
-            np.ones((B, 24), np.float32),
-            np.full((B, 24), -1, np.int32)]
-    spans = packed_sections(outs)
-    assert spans == [("car", 0, 86), ("lp", 86, 93), ("corners", 93, 101),
-                     ("ocr_scores", 101, 125), ("ocr_cls", 125, 149)]
-    packed = jnp.concatenate(
-        [jnp.asarray(o).reshape(B, -1).astype(jnp.float32) for o in outs],
-        axis=1)
-    assert packed.shape == (B, 149)
-    for (name, lo, hi), o in zip(spans, outs):
-        np.testing.assert_array_equal(
-            np.asarray(packed[:, lo:hi]),
-            np.asarray(o, np.float32).reshape(B, -1))
+def test_packed_serving_head_matches_joint_result():
+    """JointPipeline.packed_call returns ONE (B, K) f32 tensor whose
+    packed_sections spans slice back into the JointResult fields exactly
+    (one d2h latency wave per batch on a remote transport instead of
+    five). Crops must be absent."""
+    import jax
+    from tests.test_pipeline import tiny_carlp_spec, tiny_ocr_spec
+    from yolo_tpu.pipeline import JointPipeline
+    from yolo_tpu.train.tasks import make_task
+
+    joint = make_task("carlp", tiny_carlp_spec())
+    ocr = make_task("ocr", tiny_ocr_spec())
+    k = jax.random.PRNGKey(0)
+    jv, ov = joint.init_variables(k), ocr.init_variables(k)
+    frames = jax.random.uniform(k, (2, 64, 96, 3))
+    pipe = JointPipeline(joint, ocr)
+
+    packed = np.asarray(jax.jit(pipe.packed_call)(jv, ov, frames))
+    r = pipe.jit()(jv, ov, frames)
+    spans = dict((n, (lo, hi)) for n, lo, hi in pipe.packed_sections())
+    assert packed.shape == (2, pipe.packed_sections()[-1][-1])
+    for name, field in [("car", r.car), ("lp", r.lp),
+                        ("corners", r.corners),
+                        ("ocr_scores", r.ocr_scores),
+                        ("ocr_cls", r.ocr_cls)]:
+        lo, hi = spans[name]
+        np.testing.assert_allclose(
+            packed[:, lo:hi],
+            np.asarray(field, np.float32).reshape(2, -1), atol=1e-6)
+    # packed width excludes crops: far smaller than one crop row
+    assert packed.shape[1] < np.prod(np.asarray(r.crops).shape[1:])
 
 
 def test_pjrt_engine_async_api_bound():

@@ -300,6 +300,43 @@ class JointPipeline:
         its device memory for the outputs."""
         return jax.jit(self.__call__, donate_argnums=(2,) if donate else ())
 
+    def packed_sections(self):
+        """(name, start, end) column spans of ``packed_call``'s output.
+
+        Static — derived from the spec, no tracing. ``ocr_cls`` rides as
+        f32 (small ints are exact); crops are intentionally ABSENT: the
+        serving artifact must never ship the (B, 160, 384, 3) rectified
+        plates over a latency/bandwidth-bound transport — OCR text
+        decodes from the peak sections on the host."""
+        # decode_car rows: [score, y, x, h, w, azi] + one logit per class
+        car_w = 6 + len(self.spec.classes)
+        if self.topk:
+            car_w *= self.topk
+        widths = [("car", car_w), ("lp", 7), ("corners", 8),
+                  ("ocr_scores", 24), ("ocr_cls", 24)]
+        spans, off = [], 0
+        for name, w in widths:
+            spans.append((name, off, off + w))
+            off += w
+        return spans
+
+    def packed_call(self, joint_variables, ocr_variables, frames,
+                    depth=None):
+        """Serving-mode forward: ONE flat (B, K) f32 tensor holding every
+        compact JointResult field (no crops), sliced by
+        ``packed_sections``. Remote/native transports (the C++ PJRT node,
+        a network hop) pay one d2h latency wave per batch instead of
+        five; the reference's node published five ROS messages per frame
+        (car/video_node.py:216-254)."""
+        r = self(joint_variables, ocr_variables, frames, depth=depth)
+        outs = (r.car, r.lp, r.corners, r.ocr_scores, r.ocr_cls)
+        B = frames.shape[0]
+        packed = jnp.concatenate(
+            [o.reshape(B, -1).astype(jnp.float32) for o in outs], axis=1)
+        assert packed.shape[1] == self.packed_sections()[-1][-1], (
+            packed.shape, self.packed_sections())
+        return packed
+
     def aot_compile(self, joint_variables, ocr_variables, batch: int,
                     frame_hw: Optional[Tuple[int, int]] = None):
         """Ahead-of-time compile for a fixed batch/frame shape — the

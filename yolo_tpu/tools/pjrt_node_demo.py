@@ -121,35 +121,18 @@ def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool,
             flat_w[offsets[i]:offsets[i + 1]].reshape(shapes[i])
             for i in range(len(shapes))]
         jv2, ov2 = jax.tree_util.tree_unflatten(treedef, leaf_args)
-        r = pipe(jv2, ov2, frames)
-        outs = (r.car, r.lp, r.corners, r.ocr_scores,
-                r.ocr_cls.astype(jnp.int32))
         if packed:
             # serving mode: ONE flat (B, K) f32 output — every d2h on
             # the remote axon transport is latency-bound (a ToHostBuffer
             # start + an event-await round-trip each), so 5 outputs cost
             # 5 waves where 1 packed tensor costs 1. The host slices by
-            # the static PACKED_SECTIONS offsets; ocr_cls rides as f32
-            # (small ints are exact in f32).
-            B = frames.shape[0]
-            return (jnp.concatenate(
-                [o.reshape(B, -1).astype(jnp.float32) for o in outs],
-                axis=1),)
-        return outs
+            # pipe.packed_sections(); ocr_cls rides as f32.
+            return (pipe.packed_call(jv2, ov2, frames),)
+        r = pipe(jv2, ov2, frames)
+        return (r.car, r.lp, r.corners, r.ocr_scores,
+                r.ocr_cls.astype(jnp.int32))
 
-    return fn, [flat]
-
-
-def packed_sections(ref_out):
-    """(name, start, end) column spans of the packed serving tensor,
-    derived from one multi-output reference batch."""
-    names = ["car", "lp", "corners", "ocr_scores", "ocr_cls"]
-    spans, off = [], 0
-    for name, o in zip(names, ref_out):
-        w = int(np.prod(o.shape[1:]))
-        spans.append((name, off, off + w))
-        off += w
-    return spans
+    return fn, [flat], pipe.packed_sections()
 
 
 def render_scenes(n_frames: int, fh: int, fw: int, classes, r_max,
@@ -311,9 +294,9 @@ def main(argv=None):
         from yolo_tpu.config import builtin_spec
         fh = fw = 416                 # flagship stream geometry
         nh = nw = 448                 # network canvas (letterboxed)
-        fn, leaves = carlp_model(args.weights, args.ocr_weights, args.bf16,
-                                 u8_hw=(fh, fw) if args.u8 else None,
-                                 packed=args.packed)
+        fn, leaves, spans = carlp_model(
+            args.weights, args.ocr_weights, args.bf16,
+            u8_hw=(fh, fw) if args.u8 else None, packed=args.packed)
         spec = builtin_spec("carlp_v1")
         frames_u8 = render_scenes(n_frames, fh, fw, spec.classes,
                                   spec.LP_r_max)
@@ -321,6 +304,7 @@ def main(argv=None):
         fh = fw = 96
         nh = nw = 128
         fn, leaves = toy_model()
+        spans = None
         frames_u8 = (np.random.default_rng(1)
                      .random((n_frames, fh, fw, 3)) * 255).astype(np.uint8)
 
@@ -368,19 +352,10 @@ def main(argv=None):
 
         summary = json.loads(r.stdout.strip().splitlines()[-1])
         if args.packed:
-            # section spans of the packed tensor (pipeline.py shapes:
-            # car (B, 6+C), lp (B, 7), corners (B, 4, 2),
-            # ocr_scores/ocr_cls (B, 24)); the total must tile the
-            # exported width exactly or the export changed shape
-            widths = [("car", 6 + len(spec.classes)), ("lp", 7),
-                      ("corners", 8), ("ocr_scores", 24), ("ocr_cls", 24)]
+            # spans come from JointPipeline.packed_sections (static, from
+            # the spec); the total must tile the exported width exactly
             packed_k = int(np.asarray(ref_batches[0][0]).shape[1])
-            assert sum(w for _, w in widths) == packed_k, \
-                (widths, packed_k)
-            spans, off = [], 0
-            for name, w in widths:
-                spans.append((name, off, off + w))
-                off += w
+            assert spans[-1][-1] == packed_k, (spans, packed_k)
             per_output = compare_packed(dump_dir, ref_batches, spans)
         else:
             per_output = compare_outputs(dump_dir, ref_batches, n_outputs)
