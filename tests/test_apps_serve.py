@@ -263,3 +263,24 @@ def test_sharded_video_node_runs_real_pipeline():
     # the batch really spans the mesh
     out = node.infer_fn(np.zeros((8, h, w, 3), np.float32))
     assert len(out.car.sharding.device_set) == 8
+
+
+def test_video_node_rgbd_pairs_feed_depth():
+    """A source yielding (frame, depth) pairs must call
+    infer_fn(frames, depth) with both stacked batch-leading — the
+    serving-path half of the reference's ZED depth contract
+    (car/video_node.py:235-243)."""
+    from yolo_tpu.serve.video import VideoNode
+    calls = []
+
+    def infer(frames, depth):
+        calls.append((frames.shape, depth.shape))
+        return jnp.mean(frames) + jnp.mean(depth)
+
+    node = VideoNode(infer, batch=2, sinks=[lambda i, r, fr: None])
+    rng = np.random.default_rng(0)
+    src = [(rng.random((32, 48, 3), np.float32).astype(np.float32),
+            np.full((32, 48), float(i), np.float32)) for i in range(4)]
+    stats = node.run(iter(src))
+    assert stats["batches"] == 2
+    assert calls == [((2, 32, 48, 3), (2, 32, 48))] * 2

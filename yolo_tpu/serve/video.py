@@ -173,17 +173,29 @@ class VideoNode:
         self.sinks = sinks or []
 
     def run(self, source: FrameSource, max_batches: Optional[int] = None):
+        """``source`` may yield frames, or ``(frame, depth)`` pairs for
+        RGB-D streams (the reference's ZED contract, car/video_node.py:
+        235-243) — then ``infer_fn(frames, depth)`` is called and car
+        slot 5 carries box-centre depth (pipeline.sample_depth_at_boxes).
+        """
         pending = None          # (idx, device_result, host_frames)
         processed = 0
-        buf = []
+        buf, dbuf = [], []
         t0 = time.perf_counter()
-        for frame in source:
+        for item in source:
+            if isinstance(item, tuple):
+                frame, dep = item
+                dbuf.append(dep)
+            else:
+                frame = item
             buf.append(frame)
             if len(buf) < self.batch:
                 continue
             frames = np.stack(buf)
-            buf = []
-            result = self.infer_fn(frames)   # async dispatch
+            depth = np.stack(dbuf) if dbuf else None
+            buf, dbuf = [], []
+            result = (self.infer_fn(frames, depth) if depth is not None
+                      else self.infer_fn(frames))   # async dispatch
             if pending is not None:
                 self._drain(*pending)
                 processed += 1
@@ -228,7 +240,10 @@ class ShardedVideoNode(VideoNode):
         self.mesh = mesh
         self.sharding = batch_sharding(mesh)
         n = int(mesh.devices.size)
-        sharded = jax.jit(infer_fn, in_shardings=(self.sharding,))
+        # a single (non-tuple) sharding broadcasts to every argument:
+        # RGB frames and an optional aligned depth map are both
+        # batch-leading, so each shards over the data axis identically
+        sharded = jax.jit(infer_fn, in_shardings=self.sharding)
         super().__init__(sharded, batch=per_device_batch * n, sinks=sinks)
 
 
