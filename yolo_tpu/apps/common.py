@@ -72,6 +72,13 @@ def make_parser(prog: str, modes: List[str]) -> argparse.ArgumentParser:
                    help="car eval/video: decode up to K objects via "
                         "top-k NMS instead of the single argmax box "
                         "(eval additionally renders multi-car scenes)")
+    p.add_argument("--score-thresh", type=float, default=0.5,
+                   help="multi-object eval: detection score cut")
+    p.add_argument("--nms-iou", type=float, default=0.45,
+                   help="multi-object eval: NMS IoU suppression threshold")
+    p.add_argument("--num-obj", type=int, default=0,
+                   help="multi-object eval: cars rendered per scene "
+                        "(0 = max(spec max_objects, 2))")
     return p
 
 

@@ -184,7 +184,12 @@ def run_eval(kind: str, spec: Spec, args, batches: int = 8):
     elif topk and kind in ("car", "car_dense", "carlp"):
         m = ev.eval_car_multi(trainer.task, variables, batches=batches,
                               k=topk,
-                              num_obj=max(spec.get("max_objects", 1), 2),
+                              num_obj=int(getattr(args, "num_obj", 0) or 0)
+                              or max(spec.get("max_objects", 1), 2),
+                              score_thresh=float(
+                                  getattr(args, "score_thresh", 0.5)),
+                              nms_iou=float(
+                                  getattr(args, "nms_iou", 0.45)),
                               car_assets=trainer.car_renderer.pool
                               if trainer.car_renderer else None)
     elif kind == "carlp":

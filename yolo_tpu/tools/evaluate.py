@@ -262,7 +262,8 @@ def eval_joint(task, variables, batches: int = 8, batch: int = 24,
 def eval_car_multi(task, variables, batches: int = 8, batch: int = 24,
                    seed: int = 1234, num_obj: int = 3, k: int = 8,
                    iou_match: float = 0.5, score_thresh: float = 0.5,
-                   car_assets=None) -> Dict[str, float]:
+                   nms_iou: float = 0.45, car_assets=None
+                   ) -> Dict[str, float]:
     """Multi-object VOR accuracy: N-car scenes -> top-k NMS decode ->
     greedy IoU matching. Reports detection recall@iou_match, mean
     matched IoU, azimuth MAE over matches, and false positives/image.
@@ -290,7 +291,8 @@ def eval_car_multi(task, variables, batches: int = 8, batch: int = 24,
         if task.kind == "carlp":
             out = out[0]
         top = decode_car_topk([o.astype(jnp.float32) for o in out],
-                              grids, spec.slice_point, spec.size, k=k)
+                              grids, spec.slice_point, spec.size, k=k,
+                              iou_thresh=nms_iou)
         return labels, top
 
     n_gt = n_matched = 0
@@ -341,6 +343,7 @@ def eval_car_multi(task, variables, batches: int = 8, batch: int = 24,
             if azi_err else -1.0,
             "multi_fp_per_image": fp / max(n_images, 1),
             "num_obj": num_obj, "gt_objects": n_gt,
+            "score_thresh": score_thresh, "nms_iou": nms_iou,
             "samples": n_images}
 
 
