@@ -80,7 +80,20 @@ def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool,
     from yolo_tpu.train.checkpoint import restore_tree
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    spec = builtin_spec("carlp_v1").replace(size=[448, 448])
+    # the spec must come from the SAME place as the weights (bench.py
+    # semantics): carlp_v3+ train on refit anchors — decoding their
+    # weights with the builtin v1 anchor tables yields wrong boxes
+    from yolo_tpu.config import load_spec
+    spec = None
+    for spec_path in (os.path.join(weights_dir, "spec.yaml"),
+                      os.path.join("runs", os.path.basename(weights_dir),
+                                   "spec.yaml")):
+        if os.path.isfile(spec_path):
+            spec = load_spec(spec_path)
+            break
+    if spec is None:
+        spec = builtin_spec("carlp_v1")
+    spec = spec.replace(size=[448, 448])
     ocr_spec = builtin_spec("ocr_v1")
     joint_task = make_task("carlp", spec, dtype=dtype)
     ocr_task = make_task("ocr", ocr_spec, dtype=dtype)
