@@ -239,3 +239,33 @@ def test_pjrt_engine_async_api_bound():
         pytest.skip("no C++ toolchain / PJRT header available")
     for sym in ("ps_execute_async", "ps_await_next", "ps_num_inflight"):
         assert hasattr(lib, sym)
+
+
+def test_export_serving_writes_native_artifact(tmp_path):
+    """export_serving must produce everything pjrt_node consumes: a raw
+    StableHLO module with a data-only (u8 frames + flat f32 weights)
+    signature, a YTW1 weights.bin holding ONE flat tensor, and meta with
+    the packed spans (SURVEY §2.3 tensorrt_ros role)."""
+    import struct
+
+    import jax
+    from tests.test_pipeline import tiny_carlp_spec, tiny_ocr_spec
+    from yolo_tpu.pipeline import JointPipeline
+    from yolo_tpu.serve.export import export_serving
+    from yolo_tpu.train.tasks import make_task
+
+    joint = make_task("carlp", tiny_carlp_spec())
+    ocr = make_task("ocr", tiny_ocr_spec())
+    k = jax.random.PRNGKey(0)
+    jv, ov = joint.init_variables(k), ocr.init_variables(k)
+    pipe = JointPipeline(joint, ocr)
+
+    out = export_serving(pipe, jv, ov, str(tmp_path), batch=2,
+                         frame_hw=(56, 88), u8=True, platforms=["cpu"])
+    assert os.path.getsize(out["module"]) > 0
+    assert out["meta"]["packed_sections"] == pipe.packed_sections()
+    assert out["meta"]["input"] == "u8"
+    with open(out["weights"], "rb") as f:
+        assert f.read(4) == b"YTW1"
+        (n_tensors,) = struct.unpack("<i", f.read(4))
+    assert n_tensors == 1

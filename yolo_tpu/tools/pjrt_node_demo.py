@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import struct
 import subprocess
 import tempfile
 
@@ -30,31 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolo_tpu.serve.export import export_stablehlo
+from yolo_tpu.serve.export import (export_stablehlo, flatten_weights,
+                                   make_serving_fn, write_weights_bin)
 from yolo_tpu.serve.native import _NATIVE_DIR, axon_create_options_env
 
 REL_TOL = 5e-2          # per-element relative tolerance vs |output|max
 BAD_FRAC_MAX = 0.02     # tolerated fraction of out-of-tolerance elements
-
-
-def write_weights_bin(leaves, path: str) -> int:
-    """Serialize pytree leaves in tree_leaves order for pjrt_node.
-
-    Format (native/pjrt_node.cpp upload_weights): "YTW1", int32
-    n_tensors, then per tensor int32 ndims, int64 dims[ndims], int32
-    dtype (0=f32), raw bytes.
-    """
-    with open(path, "wb") as f:
-        f.write(b"YTW1")
-        f.write(struct.pack("<i", len(leaves)))
-        for leaf in leaves:
-            a = np.ascontiguousarray(np.asarray(leaf, np.float32))
-            f.write(struct.pack("<i", a.ndim))
-            for d in a.shape:
-                f.write(struct.pack("<q", d))
-            f.write(struct.pack("<i", 0))
-            f.write(a.tobytes())
-    return len(leaves)
 
 
 def toy_model():
@@ -104,46 +84,34 @@ def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool,
                 "batch_stats": tree.get("batch_stats", {})}
 
     pipe = JointPipeline(joint_task, ocr_task)
-    leaves, treedef = jax.tree_util.tree_flatten(
+    # ONE flat f32 weights argument (serve.export.flatten_weights): a
+    # 500-argument executable exhausts the TPU's sync-flag memory
+    flat, unflatten = flatten_weights(
         (load(weights_dir), load(ocr_weights_dir)))
 
-    # pack every leaf into ONE flat f32 argument: a 500-argument
-    # executable exhausts the TPU's sync-flag (sflag) memory — one
-    # copy-start per argument — while a single packed tensor costs one.
-    # The slices below are static, so XLA turns them into views.
-    shapes = [tuple(np.shape(l)) for l in leaves]
-    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
-    offsets = np.cumsum([0] + sizes).tolist()
-    flat = np.concatenate(
-        [np.asarray(l, np.float32).ravel() for l in leaves])
+    if packed:
+        # serving mode: ONE flat (B, K) f32 output — every d2h on the
+        # remote axon transport is latency-bound (a ToHostBuffer start
+        # + an event-await round-trip each), so 5 outputs cost 5 waves
+        # where 1 packed tensor costs 1. Host slices packed_sections().
+        fn = make_serving_fn(pipe, unflatten, u8_hw=u8_hw)
+    else:
+        nh, nw = spec.size
 
-    nh, nw = spec.size
-
-    def fn(frames, flat_w):
-        if u8_hw is not None:
-            # raw u8 ingestion: letterbox + /255 on device (the node
-            # streams (B, fh, fw, 3) u8 — 4x less H2D than f32 batches);
-            # bit-matches framepipe's fp_ring_pop_batch / letterbox_np
-            fh, fw = u8_hw
-            dy, dx = (nh - fh) // 2, (nw - fw) // 2
-            x = frames.astype(jnp.float32) / 255.0
-            frames = jnp.pad(
-                x, ((0, 0), (dy, nh - fh - dy), (dx, nw - fw - dx),
-                    (0, 0)), constant_values=0.5)
-        leaf_args = [
-            flat_w[offsets[i]:offsets[i + 1]].reshape(shapes[i])
-            for i in range(len(shapes))]
-        jv2, ov2 = jax.tree_util.tree_unflatten(treedef, leaf_args)
-        if packed:
-            # serving mode: ONE flat (B, K) f32 output — every d2h on
-            # the remote axon transport is latency-bound (a ToHostBuffer
-            # start + an event-await round-trip each), so 5 outputs cost
-            # 5 waves where 1 packed tensor costs 1. The host slices by
-            # pipe.packed_sections(); ocr_cls rides as f32.
-            return (pipe.packed_call(jv2, ov2, frames),)
-        r = pipe(jv2, ov2, frames)
-        return (r.car, r.lp, r.corners, r.ocr_scores,
-                r.ocr_cls.astype(jnp.int32))
+        def fn(frames, flat_w):
+            if u8_hw is not None:
+                # raw u8 ingestion: letterbox + /255 on device;
+                # bit-matches framepipe fp_ring_pop_batch / letterbox_np
+                fh, fw = u8_hw
+                dy, dx = (nh - fh) // 2, (nw - fw) // 2
+                x = frames.astype(jnp.float32) / 255.0
+                frames = jnp.pad(
+                    x, ((0, 0), (dy, nh - fh - dy), (dx, nw - fw - dx),
+                        (0, 0)), constant_values=0.5)
+            jv2, ov2 = unflatten(flat_w)
+            r = pipe(jv2, ov2, frames)
+            return (r.car, r.lp, r.corners, r.ocr_scores,
+                    r.ocr_cls.astype(jnp.int32))
 
     return fn, [flat], pipe.packed_sections()
 
