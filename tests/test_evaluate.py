@@ -3,6 +3,7 @@ sane ranges; trained accuracy is checked on real TPU runs)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yolo_tpu.config import builtin_spec
 from yolo_tpu.tools.evaluate import eval_car, eval_lpd, eval_ocr
@@ -92,3 +93,32 @@ def test_eval_joint_tiny():
     for k in ("car_mean_iou", "car_azimuth_mae_deg", "lp_corner_iou",
               "lp_z_mae_mm"):
         assert np.isfinite(m[k]), m
+
+
+@pytest.mark.slow
+def test_eval_joint_cascade_tiny():
+    """The joint-net fused-cascade eval (CarLPNet -> predicted-pose
+    unwarp -> OCR text) runs end-to-end and reports sane ranges."""
+    import jax
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.render import procedural_car_assets
+    from yolo_tpu.tools.evaluate import eval_joint_cascade
+    from yolo_tpu.train import make_task
+
+    spec = builtin_spec("carlp_v1").replace(
+        size=[64, 64], layers=[1, 1, 1, 1, 1, 1],
+        channels=[4, 8, 8, 16, 16, 32, 32])
+    ocr_spec = builtin_spec("ocr_v1").replace(
+        num_init_features=8, growth_rate=4, block_config=[2, 2, 2])
+    task = make_task("carlp", spec)
+    ocr_task = make_task("ocr", ocr_spec)
+    v = task.init_variables(jax.random.PRNGKey(0))
+    ov = ocr_task.init_variables(jax.random.PRNGKey(1))
+    m = eval_joint_cascade(
+        task, v, ocr_task, ov, batches=1, batch=2,
+        car_assets=procedural_car_assets(num_azi=4, num_ele=1))
+    assert 0.0 <= m["cascade_exact_match"] <= 1.0
+    assert 0.0 <= m["cascade_corner_iou"] <= 1.0
+    for k in ("car_mean_iou", "car_azimuth_mae_deg", "cascade_z_mae_mm"):
+        assert np.isfinite(m[k]), m
+    assert m["samples"] == 2

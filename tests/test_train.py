@@ -229,3 +229,26 @@ def test_train_step_tensor_parallel(tmp_path):
         n = float(np.linalg.norm(y))
         assert float(np.linalg.norm(x - y)) <= 0.75 * n + 1e-6, \
             (np.linalg.norm(x - y), n)
+
+
+def test_synthesize_rate_knobs(tmp_path):
+    """lp_add_rate / car_render_rate spec keys steer the joint synthesis:
+    at rate 1.0 every scene carries a plate and a car (label slot 0
+    positive), at 0.0 none do."""
+    for lp_rate, car_rate in ((1.0, 1.0), (0.0, 0.0)):
+        spec = tiny_carlp_spec().replace(
+            lp_add_rate=lp_rate, car_render_rate=car_rate)
+        trainer = Trainer(make_task("carlp", spec),
+                          str(tmp_path / f"r{lp_rate}"),
+                          mesh=make_mesh(), record=False,
+                          car_assets=procedural_car_assets(
+                              num_azi=4, num_ele=1))
+        bg = trainer.backgrounds.sample(jax.random.PRNGKey(0), 8)
+        _, (car_labels, lp_labels) = jax.jit(trainer.synthesize)(
+            jax.random.PRNGKey(3), bg)
+        lp_present = np.asarray(lp_labels[:, 0, 0] > 0)
+        car_present = np.asarray(car_labels[:, 0, 0] >= 0)
+        if lp_rate == 1.0:
+            assert lp_present.all() and car_present.all()
+        else:
+            assert not lp_present.any() and not car_present.any()

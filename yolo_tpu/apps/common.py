@@ -79,6 +79,10 @@ def make_parser(prog: str, modes: List[str]) -> argparse.ArgumentParser:
     p.add_argument("--num-obj", type=int, default=0,
                    help="multi-object eval: cars rendered per scene "
                         "(0 = max(spec max_objects, 2))")
+    p.add_argument("--cascade", type=int, default=0,
+                   help="carlp eval: measure the FULL fused serving path "
+                        "(JointPipeline -> predicted-pose unwarp -> OCR "
+                        "text) instead of the pose heads alone")
     return p
 
 

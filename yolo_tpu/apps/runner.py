@@ -192,6 +192,17 @@ def run_eval(kind: str, spec: Spec, args, batches: int = 8):
                                   getattr(args, "nms_iou", 0.45)),
                               car_assets=trainer.car_renderer.pool
                               if trainer.car_renderer else None)
+    elif kind == "carlp" and getattr(args, "cascade", 0):
+        # full fused serving path measured ON the joint net: CarLPNet ->
+        # predicted-pose unwarp -> OCR -> text (not just the pose heads)
+        ocr_spec = builtin_spec("ocr_v1")
+        ocr_task = make_task("ocr", ocr_spec, dtype=trainer.task.dtype)
+        ov, ocr_src = _restore_ocr_variables(ocr_task, args)
+        m = ev.eval_joint_cascade(
+            trainer.task, variables, ocr_task, ov, batches=batches,
+            car_assets=trainer.car_renderer.pool
+            if trainer.car_renderer else None)
+        m["ocr_weights"] = ocr_src
     elif kind == "carlp":
         m = ev.eval_joint(trainer.task, variables, batches=batches,
                           car_assets=trainer.car_renderer.pool

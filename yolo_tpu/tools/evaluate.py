@@ -259,6 +259,84 @@ def eval_joint(task, variables, batches: int = 8, batch: int = 24,
             "samples": len(all_iou)}
 
 
+def eval_joint_cascade(joint_task, joint_variables, ocr_task, ocr_variables,
+                       batches: int = 8, batch: int = 24, seed: int = 99,
+                       car_assets=None, **pipeline_kw) -> Dict[str, float]:
+    """END-TO-END accuracy of the JOINT serving path: car+plate scenes ->
+    CarLPNet -> car box/viewpoint + LP pose -> predicted-pose unwarp ->
+    OCR -> plate string. Same measurement as ``eval_cascade`` but through
+    ``pipeline.JointPipeline`` on the joint net — the single fused program
+    that replaces the reference's carLP_video_node + OCR ROS pair
+    (car_and_LP/carLP_video_node.py:48-86 -> OCR/OCR.py:240-252)."""
+    from yolo_tpu.pipeline import JointPipeline
+
+    spec = joint_task.spec
+    h, w = spec.size
+    car_r = CarRenderer(h, w, spec.classes, pool=car_assets)
+    lp_r = LPRenderer(h, w)
+    pipe = JointPipeline(joint_task, ocr_task, **pipeline_kw)
+    proj = PlateProjector()
+    cls = np.asarray(spec.classes, np.float32)
+    r_max = tuple(spec.LP_r_max)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def run(joint_variables, ocr_variables, key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        bg = procedural_backgrounds(k1, batch, h, w)
+        imgs, car_labels = car_r.render(k2, bg, render_rate=1.0)
+        # composite a plate with KNOWN chars (lp_r.add draws its own)
+        chars = lp_r.sample_chars(k3, batch)
+        inks = lp_r.draw_plates(chars)
+        poses = jax.vmap(lambda k: lp_r.sample_pose(k, r_max))(
+            jax.random.split(k4, batch))
+        rgb, alpha, _ = jax.vmap(lp_r._project_one)(inks, poses)
+        imgs = jnp.clip(imgs * (1 - alpha) + rgb * alpha, 0, 1)
+        res = pipe(joint_variables, ocr_variables, imgs)
+        return car_labels, chars, poses, res
+
+    exact = char_hits = char_total = total = 0
+    car_ious, azi_err, lp_ious, z_errs = [], [], [], []
+    for b in range(batches):
+        key, k = jax.random.split(key)
+        car_labels, chars, poses, res = run(joint_variables, ocr_variables, k)
+        car_labels = np.asarray(car_labels)
+        chars = np.asarray(chars)
+        poses = np.asarray(poses)
+        car = np.asarray(res.car)
+        corners = np.asarray(res.corners)
+        lp = np.asarray(res.lp)
+        ocr_cls = np.asarray(res.ocr_cls)
+        ious = np.asarray(jax.vmap(iou_ltrb)(
+            yxhw_to_ltrb(jnp.asarray(car[:, 1:5])),
+            yxhw_to_ltrb(jnp.asarray(car_labels[:, 0, 1:5]))))
+        for i in range(batch):
+            truth = "".join(CLASS_NAMES[int(c)] for c in chars[i])
+            pred = peaks_to_text(ocr_cls[i])
+            total += 1
+            exact += int(pred == truth)
+            n = min(len(pred), len(truth))
+            char_hits += sum(p == t for p, t in zip(pred[:n], truth[:n]))
+            char_total += len(truth)
+            tc = np.asarray(proj.corners_in_image(
+                jnp.asarray(poses[i]), (h, w)))
+            lp_ious.append(_corner_iou(tc, corners[i]))
+            z_errs.append(abs(float(lp[i, 3]) - float(poses[i, 2])))
+            true_cls = int(car_labels[i, 0, 0])
+            if true_cls >= 0:
+                car_ious.append(float(ious[i]))
+                err = _softmax_azimuth_deg(car[i, 6:], cls[:, 0]) - \
+                    cls[true_cls, 0]
+                azi_err.append(abs((err + 180) % 360 - 180))
+    return {"cascade_exact_match": exact / total,
+            "cascade_char_accuracy": char_hits / max(char_total, 1),
+            "cascade_corner_iou": float(np.mean(lp_ious)),
+            "cascade_z_mae_mm": float(np.mean(z_errs)),
+            "car_mean_iou": float(np.mean(car_ious)),
+            "car_azimuth_mae_deg": float(np.mean(azi_err)),
+            "samples": total}
+
+
 def eval_car_multi(task, variables, batches: int = 8, batch: int = 24,
                    seed: int = 1234, num_obj: int = 3, k: int = 8,
                    iou_match: float = 0.5, score_thresh: float = 0.5,

@@ -101,7 +101,8 @@ class Trainer:
         k1, k2 = jax.random.split(key)
         if kind == "lp":
             return self.lp_renderer.add(
-                k1, bg, tuple(self.spec.LP_r_max), add_rate=0.5)
+                k1, bg, tuple(self.spec.LP_r_max),
+                add_rate=self.spec.get("lp_add_rate", 0.5))
         if kind == "ocr":
             # mix fronto-parallel strips with cascade-matched noisy-pose
             # crops (spec cascade_rate in [0,1]; 0 = pure reference mode)
@@ -119,14 +120,19 @@ class Trainer:
             return imgs, labels
         if kind in ("car", "car_dense"):
             return self.car_renderer.render(
-                k1, bg, render_rate=0.5, pascal_rate=0.2,
+                k1, bg,
+                render_rate=self.spec.get("car_render_rate", 0.5),
+                pascal_rate=self.spec.get("pascal_rate", 0.2),
                 num_obj=self.spec.get("max_objects", 1))
         if kind == "carlp":
             imgs, car_labels = self.car_renderer.render(
-                k1, bg, render_rate=0.5, pascal_rate=0.2,
+                k1, bg,
+                render_rate=self.spec.get("car_render_rate", 0.5),
+                pascal_rate=self.spec.get("pascal_rate", 0.2),
                 num_obj=self.spec.get("max_objects", 1))
             imgs, lp_labels = self.lp_renderer.add(
-                k2, imgs, tuple(self.spec.LP_r_max), add_rate=0.5)
+                k2, imgs, tuple(self.spec.LP_r_max),
+                add_rate=self.spec.get("lp_add_rate", 0.5))
             return imgs, (car_labels, lp_labels)
         raise ValueError(kind)
 
