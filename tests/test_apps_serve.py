@@ -41,6 +41,7 @@ def write_version(tmp_path, name, spec_dict):
     return str(vdir)
 
 
+@pytest.mark.slow
 def test_ocr_app_train_and_valid(tmp_path, monkeypatch):
     from yolo_tpu.apps import ocr
     monkeypatch.chdir(tmp_path)
@@ -51,6 +52,7 @@ def test_ocr_app_train_and_valid(tmp_path, monkeypatch):
     assert len(out) > 0
 
 
+@pytest.mark.slow
 def test_lp_app_video_synthetic(tmp_path, monkeypatch):
     from yolo_tpu.apps import lp_detection
     monkeypatch.chdir(tmp_path)
@@ -59,6 +61,7 @@ def test_lp_app_video_synthetic(tmp_path, monkeypatch):
                        "--max-frames", "3"])
 
 
+@pytest.mark.slow
 def test_car_app_kmean(tmp_path, monkeypatch):
     from yolo_tpu.apps import car
     monkeypatch.chdir(tmp_path)
@@ -228,6 +231,7 @@ def test_make_ocr_infer_decodes():
     assert peaks.dtype == jnp.int32
 
 
+@pytest.mark.slow
 def test_sharded_video_node_runs_real_pipeline():
     """weak-#6 close-out: the ACTUAL JointPipeline (reduced-width nets,
     real decode/unwarp/OCR stages) through ShardedVideoNode on the full

@@ -13,6 +13,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -21,6 +23,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_dcn_train_step(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "dcn_worker.py")

@@ -32,6 +32,7 @@ def test_eval_lpd_untrained():
     assert m["lpd_z_mae_mm"] >= 0
 
 
+@pytest.mark.slow
 def test_eval_car_untrained():
     spec = builtin_spec("car_v1").replace(
         size=[64, 64], layers=[1, 1, 1, 1, 1, 1],
@@ -43,6 +44,7 @@ def test_eval_car_untrained():
     assert 0.0 <= m["car_azimuth_mae_deg"] <= 180.0
 
 
+@pytest.mark.slow
 def test_eval_car_multi_untrained():
     """Multi-object eval harness runs end-to-end (2-car scenes, top-k
     NMS decode, greedy matching) and reports sane ranges."""
@@ -75,6 +77,7 @@ def test_eval_cascade_untrained():
     assert m["samples"] == 2
 
 
+@pytest.mark.slow
 def test_eval_joint_tiny():
     """Joint eval must produce finite car + LP metrics on a tiny net."""
     import jax

@@ -48,6 +48,7 @@ def test_carlp_head_shapes(rngkey):
     assert spec.lp_grid_hw == (20, 32)
 
 
+@pytest.mark.slow
 def test_lp_densenet_grid(rngkey):
     spec = builtin_spec("lp_v2")
     model = build_model("lp", spec)
@@ -59,6 +60,7 @@ def test_lp_densenet_grid(rngkey):
     assert spec.lp_grid_hw == (10, 16)
 
 
+@pytest.mark.slow
 def test_ocr_densenet_columns(rngkey):
     spec = builtin_spec("ocr_v1")
     model = build_model("ocr", spec)
@@ -70,6 +72,7 @@ def test_ocr_densenet_columns(rngkey):
     assert tuple(cls.shape) == (2, 1, 24, 34)
 
 
+@pytest.mark.slow
 def test_car_densenet_single_scale(rngkey):
     spec = builtin_spec("car_v11")
     model = build_model("car_dense", spec)

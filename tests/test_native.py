@@ -197,6 +197,7 @@ def test_compare_cls_ids_peak_shift_keeps_plate():
     assert r["plate_match"] == 0.75
 
 
+@pytest.mark.slow
 def test_packed_serving_head_matches_joint_result():
     """JointPipeline.packed_call returns ONE (B, K) f32 tensor whose
     packed_sections spans slice back into the JointResult fields exactly
@@ -241,6 +242,7 @@ def test_pjrt_engine_async_api_bound():
         assert hasattr(lib, sym)
 
 
+@pytest.mark.slow
 def test_export_serving_writes_native_artifact(tmp_path):
     """export_serving must produce everything pjrt_node consumes: a raw
     StableHLO module with a data-only (u8 frames + flat f32 weights)

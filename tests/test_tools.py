@@ -145,6 +145,7 @@ def test_compose_and_pack(tmp_path):
     assert out.shape == (3, 64, 96, 3)
 
 
+@pytest.mark.slow
 def test_freiburg_valid_nima_fixture(tmp_path):
     """Exercise the Freiburg `valid_Nima` parse/metric/report path on a
     synthetic 2-car fixture in the dataset's file format
@@ -246,6 +247,7 @@ def test_offboard_keyboard_and_land():
     assert sm.setpoint == [0.0, 0.0, 0.8]
 
 
+@pytest.mark.slow
 def test_profiler_survives_stage_failure(tmp_path, monkeypatch):
     """A crashing stage must not erase the whole profile artifact
     (round-2 lost its on-chip profile exactly this way)."""
