@@ -252,3 +252,25 @@ def test_synthesize_rate_knobs(tmp_path):
             assert lp_present.all() and car_present.all()
         else:
             assert not lp_present.any() and not car_present.any()
+
+
+def test_scene_aug_knob(tmp_path):
+    """scene_noise_std / scene_brightness spec keys perturb the rendered
+    scene (whole frame, not just the plate window); defaults leave the
+    synthesis byte-identical to the pre-knob path."""
+    base = tiny_lp_spec()
+    t0 = Trainer(make_task("lp", base), str(tmp_path / "a"),
+                 mesh=make_mesh(), record=False)
+    imgs0, lab0 = jax.jit(t0.synthesize)(jax.random.PRNGKey(5),
+                                         t0.backgrounds.sample(
+                                             jax.random.PRNGKey(0), 4))
+    t1 = Trainer(make_task("lp", base.replace(scene_noise_std=0.05,
+                                              scene_brightness=0.3)),
+                 str(tmp_path / "b"), mesh=make_mesh(), record=False)
+    imgs1, lab1 = jax.jit(t1.synthesize)(jax.random.PRNGKey(5),
+                                         t1.backgrounds.sample(
+                                             jax.random.PRNGKey(0), 4))
+    np.testing.assert_array_equal(np.asarray(lab0), np.asarray(lab1))
+    diff = float(jnp.abs(imgs0 - imgs1).mean())
+    assert diff > 0.01, diff
+    assert float(imgs1.min()) >= 0.0 and float(imgs1.max()) <= 1.0

@@ -96,13 +96,35 @@ class Trainer:
     # ------------------------------------------------------------------
     # batch synthesis (traced inside the train step)
     # ------------------------------------------------------------------
+    def _scene_aug(self, key, imgs):
+        """Scene-level photometric augmentation (spec keys
+        ``scene_noise_std`` / ``scene_brightness``, both default 0 = off).
+
+        The per-plate jitter in LPRenderer.add noises only the plate
+        window; a real sensor noises the WHOLE frame — the real-image
+        stress eval showed scene noise at std 0.03 collapsing LPD corner
+        IoU (reports/real_image.json). Detection legs opt in via spec."""
+        std = float(self.spec.get("scene_noise_std", 0.0))
+        bright = float(self.spec.get("scene_brightness", 0.0))
+        if not (std or bright):
+            return imgs
+        k1, k2 = jax.random.split(key)
+        if bright:
+            f = jax.random.uniform(k1, (imgs.shape[0], 1, 1, 1),
+                                   minval=1.0 - bright, maxval=1.0 + bright)
+            imgs = imgs * f
+        if std:
+            imgs = imgs + std * jax.random.normal(k2, imgs.shape)
+        return jnp.clip(imgs, 0.0, 1.0)
+
     def synthesize(self, key, bg):
         kind = self.task.kind
         k1, k2 = jax.random.split(key)
         if kind == "lp":
-            return self.lp_renderer.add(
+            imgs, labels = self.lp_renderer.add(
                 k1, bg, tuple(self.spec.LP_r_max),
                 add_rate=self.spec.get("lp_add_rate", 0.5))
+            return self._scene_aug(k2, imgs), labels
         if kind == "ocr":
             # mix fronto-parallel strips with cascade-matched noisy-pose
             # crops (spec cascade_rate in [0,1]; 0 = pure reference mode)
@@ -119,11 +141,12 @@ class Trainer:
             labels = jnp.where(pick[:, None, None], lab_b, lab_a)
             return imgs, labels
         if kind in ("car", "car_dense"):
-            return self.car_renderer.render(
+            imgs, labels = self.car_renderer.render(
                 k1, bg,
                 render_rate=self.spec.get("car_render_rate", 0.5),
                 pascal_rate=self.spec.get("pascal_rate", 0.2),
                 num_obj=self.spec.get("max_objects", 1))
+            return self._scene_aug(k2, imgs), labels
         if kind == "carlp":
             imgs, car_labels = self.car_renderer.render(
                 k1, bg,
@@ -133,6 +156,7 @@ class Trainer:
             imgs, lp_labels = self.lp_renderer.add(
                 k2, imgs, tuple(self.spec.LP_r_max),
                 add_rate=self.spec.get("lp_add_rate", 0.5))
+            imgs = self._scene_aug(jax.random.fold_in(k2, 1), imgs)
             return imgs, (car_labels, lp_labels)
         raise ValueError(kind)
 
