@@ -1,7 +1,8 @@
 #!/bin/bash
-# Round-4 TPU queue (session 15, v2): closes the round's accuracy goals.
+# Round-4 TPU queue (session 15, v3): closes the round's accuracy goals.
 # Waits for tpu_session14.sh (one chip serializes jobs), then — ordered
-# by VERDICT value so a round-end cut loses the least:
+# so a round-end cut loses the least (cheap evidence refreshes land
+# before the long joint leg):
 #   A) ocr_v3 retrain. Round 3 FIXED the cascade OCR label geometry
 #      (ffc375d: noisy-pose crops labeled through the true-pose
 #      homography) and queued this retrain, but the outage ate it —
@@ -9,11 +10,10 @@
 #      batch it saw had chance-level column targets. Retraining on the
 #      fixed targets is the main remaining lever for cascade >=95%.
 #   B) fused-cascade re-eval with lp_v3 x ocr_v3
-#   C) carlp_v4 LP-boosted fine-tune (8k) from carlp_v3
-#   D) carlp_v4 joint eval + fused-cascade-on-the-joint-net eval
-#   E) real-image transfer eval refreshed on lp_v3 + ocr_v3
+#   C) real-image transfer eval refreshed on lp_v3 + ocr_v3
+#   D) carlp_v4 LP-boosted fine-tune (6k) from carlp_v3
+#   E) carlp_v4 joint eval + fused-cascade-on-the-joint-net eval
 #   F) final headline bench + manifest
-#   G) (optional tail) pallas fused-conv A/B at the matmul default
 # Every phase auto-commits (an outage must never strand evidence).
 set -x
 cd /root/repo
@@ -74,19 +74,28 @@ $RS --name cascade_v3_ocr3 --timeout 1500 --allow-fail \
         --batches 8 --out reports/eval_cascade_v3_ocr3.json
 commit_now "Fused-cascade re-eval: lp_v3 x ocr_v3 (post-label-fix OCR)"
 
-# ---- phase C: carlp_v4 LP-boosted fine-tune -----------------------------
+# ---- phase C: real-image transfer refreshed on the v3 legs --------------
 ensure_chip
-$RS --name carlp_v4_train --timeout 9600 --allow-fail -- \
+$RS --name real_image_v3 --timeout 3000 --allow-fail \
+    --artifact reports/real_image_v3.json --check -- \
+    python -m yolo_tpu.tools.real_image \
+        --lp trained/lp_v3 --ocr trained/ocr_v3 \
+        --out reports/real_image_v3.json --save-dir reports/real_image_v3
+commit_now "Real-image transfer eval refreshed on lp_v3 + ocr_v3"
+
+# ---- phase D: carlp_v4 LP-boosted fine-tune (6k) ------------------------
+ensure_chip
+$RS --name carlp_v4_train --timeout 8400 --allow-fail -- \
     python scripts/watchdog_train.py \
         --metrics runs/carlp_v4/logs/metrics.jsonl --stale 420 --grace 1500 -- \
         python -m yolo_tpu.apps.car_and_lp runs/carlp_v4 train \
-            --until-step 8000 --bf16 1 --weight trained/carlp_v3
+            --until-step 6000 --bf16 1 --weight trained/carlp_v3
 $RS --name pkg_carlp_v4 --timeout 2400 --allow-fail -- \
     python -m yolo_tpu.tools.package_weights --src runs/carlp_v4/backup \
         --dst trained/carlp_v4 --force
 commit_now "carlp_v4 joint leg: LP-signal-boosted bf16 fine-tune from carlp_v3"
 
-# ---- phase D: joint eval + fused-cascade-on-the-joint-net eval ----------
+# ---- phase E: joint eval + fused-cascade-on-the-joint-net eval ----------
 ensure_chip
 $RS --name carlp_v4_eval --timeout 1500 --allow-fail \
     --artifact reports/eval_carlp_v4.json --last-line -- \
@@ -97,28 +106,13 @@ $RS --name carlp_v4_cascade --timeout 2400 --allow-fail \
     python -m yolo_tpu.apps.car_and_lp runs/carlp_v4 eval --cascade 1
 commit_now "carlp_v4 evals: joint pose + fused cascade on the joint net"
 
-# ---- phase E: real-image transfer refreshed on the v3 legs --------------
-ensure_chip
-$RS --name real_image_v3 --timeout 3000 --allow-fail \
-    --artifact reports/real_image_v3.json --check -- \
-    python -m yolo_tpu.tools.real_image \
-        --lp trained/lp_v3 --ocr trained/ocr_v3 \
-        --out reports/real_image_v3.json --save-dir reports/real_image_v3
-commit_now "Real-image transfer eval refreshed on lp_v3 + ocr_v3"
-
 # ---- phase F: final headline bench + manifest ---------------------------
 ensure_chip
 $RS --name bench_final_r4b --timeout 900 --allow-fail \
     --artifact reports/bench_final.json --last-line -- python bench.py
 python scripts/manifest.py \
-    reports/eval_cascade_v3_ocr3.json reports/eval_carlp_v4.json \
-    reports/eval_carlp_v4_cascade.json reports/real_image_v3.json \
+    reports/eval_cascade_v3_ocr3.json reports/real_image_v3.json \
+    reports/eval_carlp_v4.json reports/eval_carlp_v4_cascade.json \
     reports/bench_final.json || true
 commit_now "session15 queue: v3/v4 accuracy legs + final bench + manifest"
-
-# ---- phase G (optional tail): pallas fused-conv A/B ---------------------
-ensure_chip
-YOLO_TPU_FUSED_CONV=1 $RS --name bench_fused_r4 --timeout 1200 --allow-fail \
-    --artifact reports/bench_fused_on_r4.json --last-line -- python bench.py
-commit_now "Pallas fused-conv A/B re-run at the matmul-default balance"
 echo "=== tpu_session15 done ==="
