@@ -318,8 +318,14 @@ int main(int argc, char** argv) {
     }
     dispatched++;
     // harvest only when the pipeline is full: the oldest batch's
-    // readback overlaps the batches still executing behind it
-    if (ps_num_inflight(eng) >= depth && !harvest_one()) return 1;
+    // readback overlaps the batches still executing behind it.
+    // Exception: harvest batch 0 immediately — the shim caches output
+    // metadata on the first harvest, and every batch dispatched BEFORE
+    // that would miss the eager-d2h start (its readback would serialize
+    // at harvest). Batch 0 is the excluded warm-up batch either way.
+    if ((ps_num_inflight(eng) >= depth || harvested == 0) &&
+        !harvest_one())
+      return 1;
   }
   while (ps_num_inflight(eng) > 0)     // drain the tail of the pipeline
     if (!harvest_one()) return 1;

@@ -38,6 +38,14 @@ struct Inflight {
   std::vector<PJRT_Buffer*> outputs;
   PJRT_Event* done = nullptr;
   double t_dispatch_ms = 0;           // host time spent in dispatch
+  // eager readback: d2h transfers STARTED at dispatch time (once output
+  // metadata is cached), so the ~1 transport-RTT readback latencies of
+  // the whole in-flight window ride concurrently instead of one full
+  // round-trip per harvest — the round-3/4 86 ms/batch d2h wall
+  bool d2h_started = false;
+  std::vector<std::vector<uint8_t>> host_data;
+  std::vector<PJRT_Event*> d2h_events;
+  std::vector<std::vector<int64_t>> m2ms;  // layout storage, outlives call
 };
 
 struct Shim {
@@ -64,6 +72,9 @@ struct Shim {
   std::vector<Inflight> inflight;     // FIFO, oldest first
   // per-stage wall times of the last harvested execute (ms)
   double t_h2d_ms = 0, t_exec_ms = 0, t_d2h_ms = 0;
+  // start d2h at dispatch (default); PS_EAGER_D2H=0 restores the
+  // harvest-time readback for debugging
+  bool eager_d2h = true;
 };
 
 double now_ms() {
@@ -198,6 +209,8 @@ extern "C" {
 // goes to stderr).
 void* ps_create(const char* plugin_path) {
   Shim* s = new Shim();
+  const char* eager = getenv("PS_EAGER_D2H");
+  if (eager && *eager) s->eager_d2h = atoi(eager) != 0;
   s->dso = dlopen(plugin_path, RTLD_NOW | RTLD_LOCAL);
   if (!s->dso) {
     fprintf(stderr, "pjrt_shim: dlopen(%s): %s\n", plugin_path, dlerror());
@@ -337,12 +350,61 @@ void destroy_buf(Shim* s, PJRT_Buffer* buf) {
 void drop_inflight(Shim* s, Inflight* fl) {
   for (auto* ev : fl->h2d_events) await_event(s, ev, "h2d_drop");
   for (auto* buf : fl->inputs) destroy_buf(s, buf);
-  for (auto* buf : fl->outputs) destroy_buf(s, buf);
   if (fl->done) await_event(s, fl->done, "done_drop");
+  // eagerly-started readbacks must complete before their host buffers
+  // (fl->host_data) and device buffers can be released
+  for (auto* ev : fl->d2h_events) await_event(s, ev, "d2h_drop");
+  for (auto* buf : fl->outputs) destroy_buf(s, buf);
   fl->h2d_events.clear();
+  fl->d2h_events.clear();
   fl->inputs.clear();
   fl->outputs.clear();
   fl->done = nullptr;
+}
+
+// Enqueue the device->host copy of every output of ``fl`` into
+// fl->host_data using the CACHED per-output sizes (valid only once
+// meta_cached). PJRT allows ToHostBuffer right after Execute returns —
+// the copy completes when the producing computation does — so calling
+// this at dispatch time lets the readback round-trips of the whole
+// in-flight window overlap instead of paying one transport RTT per
+// harvest. Returns false (with last_error set) if any start fails.
+bool start_d2h(Shim* s, Inflight* fl) {
+  fl->host_data.resize(s->num_outputs);
+  fl->d2h_events.assign(s->num_outputs, nullptr);
+  fl->m2ms.resize(s->num_outputs);
+  for (size_t i = 0; i < s->num_outputs; i++) {
+    // dense row-major host layout, same rationale as the harvest path:
+    // tile-less Tiled with minor_to_major = [rank-1, ..., 0]
+    std::vector<int64_t>& m2m = fl->m2ms[i];
+    m2m.resize(s->out_dims[i].size());
+    for (size_t k = 0; k < m2m.size(); k++)
+      m2m[k] = static_cast<int64_t>(m2m.size() - 1 - k);
+    PJRT_Buffer_MemoryLayout layout;
+    memset(&layout, 0, sizeof(layout));
+    layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+    layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+    layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+    layout.tiled.minor_to_major = m2m.data();
+    layout.tiled.minor_to_major_size = m2m.size();
+    layout.tiled.tile_dims = nullptr;
+    layout.tiled.tile_dim_sizes = nullptr;
+    layout.tiled.num_tiles = 0;
+
+    fl->host_data[i].resize(static_cast<size_t>(s->cached_nbytes[i]));
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = fl->outputs[i];
+    th.host_layout = &layout;
+    th.dst = fl->host_data[i].data();
+    th.dst_size = fl->host_data[i].size();
+    if (!check(s, s->api->PJRT_Buffer_ToHostBuffer(&th), "d2h_eager"))
+      return false;
+    fl->d2h_events[i] = th.event;
+  }
+  fl->d2h_started = true;
+  return true;
 }
 
 }  // namespace
@@ -412,6 +474,13 @@ int ps_execute_async(void* handle, const void* const* args_data,
     drop_inflight(s, &fl);
     return -1;
   }
+  // once output metadata is known (first harvest), start the readback
+  // NOW: depth-D in-flight batches then have D readbacks riding the
+  // transport concurrently instead of one blocking RTT per harvest
+  if (s->eager_d2h && s->meta_cached && !start_d2h(s, &fl)) {
+    drop_inflight(s, &fl);
+    return -1;
+  }
   fl.t_dispatch_ms = now_ms() - t0;
   s->inflight.push_back(std::move(fl));
   return static_cast<int>(s->inflight.size());
@@ -442,8 +511,26 @@ int ps_await_next(void* handle) {
   double t2 = now_ms();
   s->t_exec_ms = t2 - t1;
   if (!ok) {
+    for (auto* ev : fl.d2h_events) await_event(s, ev, "d2h_drop");
     for (auto* buf : fl.outputs) destroy_buf(s, buf);
     return -1;
+  }
+
+  // ---- eager path: the readback was started at dispatch time ----
+  // Just await the copy events (long since in flight — typically already
+  // complete once the pipeline is full) and adopt the host buffers.
+  if (fl.d2h_started) {
+    bool d2h_ok = true;
+    for (auto* ev : fl.d2h_events) {
+      if (!await_event(s, ev, "d2h_event")) d2h_ok = false;
+    }
+    fl.d2h_events.clear();
+    for (auto* buf : fl.outputs) destroy_buf(s, buf);
+    fl.outputs.clear();
+    if (!d2h_ok) return -1;
+    s->out_data = std::move(fl.host_data);
+    s->t_d2h_ms = now_ms() - t2;
+    return static_cast<int>(s->num_outputs);
   }
 
   // ---- static output metadata: query once, reuse forever ----

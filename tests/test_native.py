@@ -231,6 +231,45 @@ def test_packed_serving_head_matches_joint_result():
     assert packed.shape[1] < np.prod(np.asarray(r.crops).shape[1:])
 
 
+@pytest.mark.slow
+def test_ref_worker_matches_in_process(tmp_path):
+    """The same-backend reference worker (a subprocess that computes the
+    node-verification references and exits, releasing the device claim)
+    must reproduce the in-process reference exactly for identical
+    backend + frames — the mechanism that upgraded the node gate from a
+    CPU-vs-MXU numerics measurement to a true apples-to-apples check."""
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.tools.pjrt_node_demo import letterbox_np, toy_model
+
+    frames = (np.random.default_rng(1)
+              .random((8, 96, 96, 3)) * 255).astype(np.uint8)
+    fnpy = tmp_path / "frames.npy"
+    np.save(fnpy, frames)
+    ref = tmp_path / "ref.npz"
+    # --ref-backend cpu pins the worker via jax.config (the axon plugin
+    # ignores the JAX_PLATFORMS env var) — same backend as this process
+    r = subprocess.run(
+        [sys.executable, "-m", "yolo_tpu.tools.pjrt_node_demo",
+         "--ref-worker", str(ref), "--ref-frames", str(fnpy),
+         "--ref-geom", "96,96,128,128", "--ref-backend", "cpu",
+         "--model", "toy", "--batch", "4", "--batches", "2"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = np.load(ref)
+    fn, leaves = toy_model()
+    net = letterbox_np(frames, 128, 128)
+    ref_fn = jax.jit(fn)
+    for b in range(2):
+        want = np.asarray(ref_fn(jnp.asarray(net[b * 4:(b + 1) * 4]),
+                                 *leaves)[0])
+        np.testing.assert_allclose(d[f"b{b}_o0"], want, rtol=1e-6)
+
+
 def test_pjrt_engine_async_api_bound():
     """The ctypes bindings expose the pipelined dispatch API (symbols
     present in the built shim; actual execution needs a plugin)."""

@@ -36,6 +36,13 @@ from yolo_tpu.serve.native import _NATIVE_DIR, axon_create_options_env
 REL_TOL = 5e-2          # per-element relative tolerance vs |output|max
 BAD_FRAC_MAX = 0.02     # tolerated fraction of out-of-tolerance elements
 
+# With a same-backend (TPU-vs-TPU) reference the only deltas are jax-vs-
+# shim compile options, so the gates tighten: the round-3 ok=false runs
+# were comparing a CPU f32 reference against the MXU's matmul numerics —
+# a backend-numerics measurement, not a node verification.
+REL_TOL_SAME_BACKEND = 1e-2
+BAD_FRAC_SAME_BACKEND = 0.005
+
 
 def toy_model():
     """Small conv detector head: frames -> (B, 8) feature summary."""
@@ -163,7 +170,8 @@ def compare_cls_ids(got, want):
             "plate_match": strings_eq / max(len(got), 1)}
 
 
-def compare_outputs(dump_dir: str, ref_batches, n_outputs: int):
+def compare_outputs(dump_dir: str, ref_batches, n_outputs: int,
+                    rel_tol: float = REL_TOL):
     """Per-output element-wise check of the node's dumped outputs
     against the jax reference for every batch. Integer (argmax-id)
     outputs are checked by mismatch fraction + decoded-string agreement
@@ -187,7 +195,7 @@ def compare_outputs(dump_dir: str, ref_batches, n_outputs: int):
             denom = max(1e-6, float(np.abs(want).max()))
             rel = np.abs(got - want) / denom
             max_rel = max(max_rel, float(rel.max()))
-            bad += int((rel > REL_TOL).sum())
+            bad += int((rel > rel_tol).sum())
             total += rel.size
         if is_int:
             per_output.append(compare_cls_ids(
@@ -198,7 +206,8 @@ def compare_outputs(dump_dir: str, ref_batches, n_outputs: int):
     return per_output
 
 
-def compare_packed(dump_dir: str, ref_batches, spans):
+def compare_packed(dump_dir: str, ref_batches, spans,
+                   rel_tol: float = REL_TOL):
     """Packed serving mode: one (B, K) f32 output per batch, sliced by
     ``spans`` into the logical sections and checked with the same
     per-section gates as the multi-output mode."""
@@ -218,7 +227,7 @@ def compare_packed(dump_dir: str, ref_batches, spans):
             denom = max(1e-6, float(np.abs(want).max()))
             rel = np.abs(got - want) / denom
             max_rel = max(max_rel, float(rel.max()))
-            bad += int((rel > REL_TOL).sum())
+            bad += int((rel > rel_tol).sum())
             total += rel.size
         if name == "ocr_cls":
             entry = compare_cls_ids(
@@ -231,14 +240,95 @@ def compare_packed(dump_dir: str, ref_batches, spans):
     return per_output
 
 
+def _build_model(args, fh, fw):
+    """(fn, leaves, spans) for the requested model — shared between the
+    parent process and the same-backend reference worker so both trace
+    the identical program."""
+    if args.model == "carlp":
+        return carlp_model(
+            args.weights, args.ocr_weights, args.bf16,
+            u8_hw=(fh, fw) if args.u8 else None, packed=args.packed)
+    fn, leaves = toy_model()
+    return fn, leaves, None
+
+
+def _ref_worker(args):
+    """Compute the per-batch reference outputs on THIS process's jax
+    backend (the parent launches it with JAX_PLATFORMS=tpu so the node's
+    outputs are compared against the same hardware's numerics), save them
+    as an .npz, and exit — releasing the device claim before the C++
+    node starts."""
+    geom = [int(x) for x in args.ref_geom.split(",")]
+    fh, fw, nh, nw = geom
+    fn, leaves, _ = _build_model(args, fh, fw)
+    frames_u8 = np.load(args.ref_frames)
+    net_frames = (frames_u8 if args.u8
+                  else letterbox_np(frames_u8, nh, nw))
+    B = args.batch
+    ref_fn = jax.jit(fn)
+    out = {}
+    for b in range(args.batches):
+        r = ref_fn(jnp.asarray(net_frames[b * B:(b + 1) * B]), *leaves)
+        for o, x in enumerate(r):
+            out["b%d_o%d" % (b, o)] = np.asarray(x)
+    np.savez(args.ref_worker, n_outputs=len(ref_batch_keys(out)),
+             **out)
+    return 0
+
+
+def ref_batch_keys(npz_like):
+    """Number of outputs per batch in a ref npz mapping."""
+    return sorted(k for k in npz_like if k.startswith("b0_o"))
+
+
+def _compute_ref_batches(args, fh, fw, nh, nw, frames_u8, fn, leaves):
+    """Reference outputs for every batch. Preferred: a subprocess pinned
+    to the SAME backend the node serves on (JAX_PLATFORMS from
+    --ref-backend) that computes and exits before the node claims the
+    device. Fallback on worker failure: in-process CPU (cross-backend —
+    loose gates). Returns (ref_batches, ref_backend_used)."""
+    import sys
+
+    if args.ref_backend != "cpu":
+        with tempfile.TemporaryDirectory() as rtd:
+            frames_npy = os.path.join(rtd, "frames.npy")
+            np.save(frames_npy, frames_u8)
+            ref_npz = os.path.join(rtd, "ref.npz")
+            argv = [sys.executable, "-m", "yolo_tpu.tools.pjrt_node_demo",
+                    "--ref-worker", ref_npz, "--ref-frames", frames_npy,
+                    "--ref-geom", "%d,%d,%d,%d" % (fh, fw, nh, nw),
+                    "--ref-backend", args.ref_backend,
+                    "--model", args.model, "--weights", args.weights,
+                    "--ocr-weights", args.ocr_weights,
+                    "--batch", str(args.batch),
+                    "--batches", str(args.batches)]
+            for flag, on in (("--bf16", args.bf16), ("--u8", args.u8),
+                             ("--packed", args.packed)):
+                if on:
+                    argv.append(flag)
+            r = subprocess.run(argv, capture_output=True, text=True,
+                               timeout=1800)
+            if r.returncode == 0 and os.path.exists(ref_npz):
+                data = np.load(ref_npz)
+                n_out = len(ref_batch_keys(data))
+                ref = [[data["b%d_o%d" % (b, o)] for o in range(n_out)]
+                       for b in range(args.batches)]
+                return ref, args.ref_backend
+            print("ref worker failed (falling back to in-process CPU "
+                  "reference):\n%s" % r.stderr[-2000:])
+
+    B = args.batch
+    net_frames = (frames_u8 if args.u8
+                  else letterbox_np(frames_u8, nh, nw))
+    ref_fn = jax.jit(fn)
+    ref = []
+    for b in range(args.batches):
+        r = ref_fn(jnp.asarray(net_frames[b * B:(b + 1) * B]), *leaves)
+        ref.append([np.asarray(x) for x in r])
+    return ref, "cpu"
+
+
 def main(argv=None):
-    # pin THIS process to CPU: if the demo's own jax touched the TPU it
-    # would hold the device claim and the C++ child would deadlock
-    # waiting for it. Export cross-lowers for TPU from the CPU process.
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass
     p = argparse.ArgumentParser()
     p.add_argument("--plugin", default=os.environ.get(
         "YOLO_TPU_PJRT_PLUGIN", "/opt/axon/libaxon_pjrt.so"))
@@ -259,11 +349,38 @@ def main(argv=None):
                    help="node dispatch pipeline depth (1 = synchronous)")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--batches", type=int, default=2)
+    p.add_argument("--ref-backend", default="tpu", choices=["tpu", "cpu"],
+                   help="backend the verification reference runs on; "
+                        "'tpu' (default) spawns a worker that computes "
+                        "refs on the device and exits before the node "
+                        "starts — same-hardware numerics, tight gates")
     p.add_argument("--out", default=None)
+    # internal: same-backend reference worker (spawned by the parent
+    # with JAX_PLATFORMS set; computes refs, saves npz, exits)
+    p.add_argument("--ref-worker", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--ref-frames", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--ref-geom", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
 
     if (args.u8 or args.packed) and args.model != "carlp":
         raise SystemExit("--u8/--packed require --model carlp")
+
+    if args.ref_worker:
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var; the
+        # config knob is the only reliable pin. 'tpu' = the device
+        # default (axon claims the chip), 'cpu' = host.
+        if args.ref_backend == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        return _ref_worker(args)
+
+    # pin THIS process to CPU: if the demo's own jax touched the TPU it
+    # would hold the device claim and the C++ child would deadlock
+    # waiting for it. Export cross-lowers for TPU from the CPU process;
+    # the verification reference comes from the --ref-backend worker.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
     binary = os.path.join(_NATIVE_DIR, "pjrt_node")
     subprocess.run(["make", "-C", _NATIVE_DIR, "pjrt_node"], check=True,
                    capture_output=True)
@@ -275,30 +392,24 @@ def main(argv=None):
         from yolo_tpu.config import builtin_spec
         fh = fw = 416                 # flagship stream geometry
         nh = nw = 448                 # network canvas (letterboxed)
-        fn, leaves, spans = carlp_model(
-            args.weights, args.ocr_weights, args.bf16,
-            u8_hw=(fh, fw) if args.u8 else None, packed=args.packed)
+        fn, leaves, spans = _build_model(args, fh, fw)
         spec = builtin_spec("carlp_v1")
         frames_u8 = render_scenes(n_frames, fh, fw, spec.classes,
                                   spec.LP_r_max)
     else:
         fh = fw = 96
         nh = nw = 128
-        fn, leaves = toy_model()
-        spans = None
+        fn, leaves, spans = _build_model(args, fh, fw)
         frames_u8 = (np.random.default_rng(1)
                      .random((n_frames, fh, fw, 3)) * 255).astype(np.uint8)
 
     # jax reference per batch, with the exact inputs the node streams:
     # u8 mode feeds raw frames (letterbox runs inside fn on device);
-    # f32 mode feeds centre-pad + /255 (framepipe pop_batch semantics)
-    ref_fn = jax.jit(fn)
-    net_frames = (frames_u8 if args.u8
-                  else letterbox_np(frames_u8, nh, nw))
-    ref_batches = []
-    for b in range(n_batches):
-        r = ref_fn(jnp.asarray(net_frames[b * B:(b + 1) * B]), *leaves)
-        ref_batches.append([np.asarray(x) for x in r])
+    # f32 mode feeds centre-pad + /255 (framepipe pop_batch semantics).
+    # Same-backend reference (the default) compares the node against the
+    # device's own numerics; the CPU fallback is cross-backend.
+    ref_batches, ref_backend = _compute_ref_batches(
+        args, fh, fw, nh, nw, frames_u8, fn, leaves)
     n_outputs = len(ref_batches[0])
 
     with tempfile.TemporaryDirectory() as td:
@@ -331,26 +442,42 @@ def main(argv=None):
             print(r.stderr)
             raise SystemExit(r.returncode)
 
+        # gate tiers: same-backend refs leave only jax-vs-shim compile
+        # option deltas, so the gates tighten hard; the CPU fallback is a
+        # cross-backend (MXU-vs-host f32) comparison and stays loose
+        if ref_backend == "cpu":
+            rel_tol = REL_TOL
+            bad_max = 0.25 if args.bf16 else BAD_FRAC_MAX
+            plate_min = 0.75 if args.bf16 else 0.9
+        elif args.bf16:
+            rel_tol, bad_max, plate_min = REL_TOL, BAD_FRAC_MAX, 0.95
+        else:
+            rel_tol = REL_TOL_SAME_BACKEND
+            bad_max, plate_min = BAD_FRAC_SAME_BACKEND, 0.98
+
         summary = json.loads(r.stdout.strip().splitlines()[-1])
         if args.packed:
             # spans come from JointPipeline.packed_sections (static, from
             # the spec); the total must tile the exported width exactly
             packed_k = int(np.asarray(ref_batches[0][0]).shape[1])
             assert spans[-1][-1] == packed_k, (spans, packed_k)
-            per_output = compare_packed(dump_dir, ref_batches, spans)
+            per_output = compare_packed(dump_dir, ref_batches, spans,
+                                        rel_tol=rel_tol)
         else:
-            per_output = compare_outputs(dump_dir, ref_batches, n_outputs)
+            per_output = compare_outputs(dump_dir, ref_batches, n_outputs,
+                                         rel_tol=rel_tol)
 
     # verification verdict: float sections within tolerance on (almost)
     # every element; argmax-id sections by decoded-plate agreement
     # (element rel-err is meaningless for class ids — see
-    # compare_cls_ids). bf16 serving is compared loosely (timing mode).
-    bad_max = 0.25 if args.bf16 else BAD_FRAC_MAX
-    plate_min = 0.75 if args.bf16 else 0.9
+    # compare_cls_ids).
     summary["model"] = args.model
     summary["dtype"] = "bfloat16" if args.bf16 else "float32"
     summary["input"] = "u8" if args.u8 else "f32"
     summary["packed"] = bool(args.packed)
+    summary["ref_backend"] = ref_backend
+    summary["gates"] = {"rel_tol": rel_tol, "bad_frac_max": bad_max,
+                        "plate_match_min": plate_min}
     summary["n_weight_tensors_expected"] = n_tensors
     summary["per_output"] = per_output
     floats = [o for o in per_output if "max_rel_err" in o]
