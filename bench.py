@@ -88,11 +88,12 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    # default 64 = the recorded sweep optimum; YOLO_TPU_BENCH_BATCH
+    # default 128 = the round-4 sweep optimum (reports/bench_b128.json
+    # 1700 FPS vs 1639 at 96, 1435 at 64); YOLO_TPU_BENCH_BATCH
     # overrides for throughput/batch sweeps without changing the
     # driver-invoked default
     batch = int(os.environ.get("YOLO_TPU_BENCH_BATCH",
-                               "64" if on_tpu else "4"))
+                               "128" if on_tpu else "4"))
     iters = 50 if on_tpu else 3
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
