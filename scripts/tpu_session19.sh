@@ -74,12 +74,19 @@ else
     $RS --name car_v4_eval --timeout 1500 --allow-fail \
         --artifact reports/eval_car_v4.json --last-line -- \
         python -m yolo_tpu.apps.car runs/car_v4 eval
+    # both operating points: the car_v3 sweep showed score 0.5 recall is
+    # confidence-limited (0.58) while 0.3 trades FP (0.53/img) — if the
+    # density leg works, 0.5 recall should rise with FP staying low
     for no in 2 3 4; do
-        ensure_chip
-        $RS --name "car_v4_mo${no}" --timeout 1500 --allow-fail \
-            --artifact "reports/eval_car_v4_mo${no}.json" --last-line -- \
-            python -m yolo_tpu.apps.car runs/car_v4 eval \
-                --topk 8 --num-obj "$no" --nms-iou 0.45 --score-thresh 0.3
+        for st in 0.3 0.5; do
+            ensure_chip
+            $RS --name "car_v4_mo${no}_s${st}" --timeout 1500 --allow-fail \
+                --artifact "reports/eval_car_v4_mo${no}_s${st}.json" \
+                --last-line -- \
+                python -m yolo_tpu.apps.car runs/car_v4 eval \
+                    --topk 8 --num-obj "$no" --nms-iou 0.45 \
+                    --score-thresh "$st"
+        done
     done
     commit_now "car_v4 evals: single-object + multi-object at 2/3/4 cars/scene"
 fi
@@ -120,7 +127,8 @@ ensure_chip
 $RS --name bench_final_r4d --timeout 900 --allow-fail \
     --artifact reports/bench_final.json --last-line -- python bench.py
 python scripts/manifest.py \
-    reports/eval_car_v4.json reports/eval_car_v4_mo3.json \
+    reports/eval_car_v4.json reports/eval_car_v4_mo3_s0.3.json \
+    reports/eval_car_v4_mo3_s0.5.json \
     reports/bench_final.json 2>/dev/null || true
 commit_now "session19 queue complete: multi-object leg + final bench"
 echo "=== tpu_session19 done ==="
