@@ -187,6 +187,58 @@ def test_lp_assignment_empty():
 
 
 # ----------------------------------------------------------------------
+# LP corner-reprojection loss (opt-in scale: LP_corner)
+# ----------------------------------------------------------------------
+def _lp_out_encoding_targets(t, gh, gw):
+    """Head map whose pose channels at the GT cell decode to the GT pose."""
+    out = np.zeros((t.score.shape[0], gh, gw, 10), np.float32)
+    out[..., 1:3] = np.asarray(t.pose_xy)
+    out[..., 3:4] = np.asarray(t.pose_z)
+    out[..., 4:7] = np.asarray(t.pose_r)
+    return jnp.asarray(out)
+
+
+def test_lp_corner_loss_zero_at_truth_positive_off_truth():
+    from yolo_tpu.config import Spec
+    from yolo_tpu.train.tasks import _lp_corner_loss
+    spec = Spec({"LP_r_max": [45, 60, 45]})
+    label = np.full((1, 1, 10), -1.0, np.float32)
+    label[0, 0] = [1, 300.0, -150.0, 2500.0, 0.3, -0.5, 0.2,
+                   300.0, 170.0, 2]
+    labels = jnp.asarray(label)
+    t = assign_lp_targets(labels, (10, 16), (320, 512), spec.LP_r_max)
+    out = _lp_out_encoding_targets(t, 10, 16)
+    loss = float(_lp_corner_loss(out, t.mask, labels, spec, 1.0))
+    assert loss < 1e-5
+    # +500 mm Z error at the GT cell must reproject corners off
+    out_off = out + t.mask * np.asarray(
+        [0, 0, 0, 0.5, 0, 0, 0, 0, 0, 0], np.float32)
+    loss_off = float(_lp_corner_loss(out_off, t.mask, labels, spec, 1.0))
+    assert loss_off > loss + 1e-3
+    g = jax.grad(lambda o: _lp_corner_loss(o, t.mask, labels, spec, 1.0))(
+        out_off)
+    assert np.isfinite(np.asarray(g)).all()
+    # gradient flows only through the pose channels of the GT cell
+    assert float(jnp.sum(jnp.abs(g * (1.0 - t.mask)))) == 0.0
+
+
+def test_lp_corner_loss_invalid_label_zero_and_nan_free():
+    from yolo_tpu.config import Spec
+    from yolo_tpu.train.tasks import _lp_corner_loss
+    spec = Spec({"LP_r_max": [45, 60, 45]})
+    labels = jnp.asarray(np.full((2, 1, 10), -1.0, np.float32))
+    t = assign_lp_targets(labels, (10, 16), (320, 512), spec.LP_r_max)
+    # raw zeros decode to Z = 0 mm: the in-loss clamp must keep the
+    # projection's divide-by-z finite even though the weight is 0
+    out = jnp.zeros((2, 10, 16, 10), jnp.float32)
+    loss = float(_lp_corner_loss(out, t.mask, labels, spec, 1.0))
+    assert loss == 0.0
+    g = jax.grad(lambda o: _lp_corner_loss(o, t.mask, labels, spec, 1.0))(
+        out)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+# ----------------------------------------------------------------------
 # OCR target assignment
 # ----------------------------------------------------------------------
 def test_ocr_targets_single_char():

@@ -19,10 +19,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from yolo_tpu.config import Spec
+from yolo_tpu.decode import lp_pose_activation
 from yolo_tpu.losses import (huber_loss, logistic_loss, score_weight,
                              softmax_ce_loss, softmax_ce_sparse)
 from yolo_tpu.models import build_model
 from yolo_tpu.ops.boxes import merge_and_slice
+from yolo_tpu.ops.geometry import PlateProjector
 from yolo_tpu.targets import (CarTargetAssigner, assign_lp_targets,
                               assign_ocr_targets)
 
@@ -36,6 +38,41 @@ class TrainState(struct.PyTreeNode):
 
 def _mean(x):
     return jnp.mean(x)
+
+
+# Huber transition for the corner-reprojection term, in calibration-camera
+# pixels: quadratic below this error (the regime corner IoU lives in),
+# linear above it (early-training poses can reproject hundreds of px off).
+_CORNER_RHO_PX = 32.0
+
+
+def _lp_corner_loss(lp_out, mask, lp_labels, spec, scale):
+    """Opt-in corner-reprojection penalty (spec ``scale: {LP_corner: s}``).
+
+    Projects the pose predicted at the ground-truth cell and the label pose
+    through the calibration pinhole (ops.geometry.PlateProjector) and taxes
+    the pixel gap of the 4 plate corners — the exact quantity the fused
+    cascade's unwarp samples with and the corner-IoU eval scores, which the
+    reference's per-channel huber terms (licence_plate/LP_detection.py:
+    354-360) only shape indirectly: a fixed angular error costs few corner
+    px on a far plate but many on a near one, and this term prices that.
+    """
+    # one positive cell per image -> masked sum extracts its raw pose
+    pred_raw = jnp.sum(lp_out[..., 1:7] * mask, axis=(1, 2))        # (B, 6)
+    pred_pose = lp_pose_activation(pred_raw, spec.LP_r_max)
+    gt_pose = lp_labels[:, 0, 1:7].astype(jnp.float32)
+    # Z guard: an invalid label is all-zero and an untrained head can emit
+    # Z <= 0; the projection divides by the corner z, so clamp away from 0
+    # BEFORE projecting (NaN * 0-weight still poisons gradients).
+    def _safe(pose):
+        return jnp.concatenate(
+            [pose[:, :2], jnp.clip(pose[:, 2:3], 200.0, None), pose[:, 3:]],
+            axis=-1)
+    proj = jax.vmap(PlateProjector())
+    pc = proj(_safe(pred_pose)) / _CORNER_RHO_PX                    # (B, 4, 2)
+    tc = proj(_safe(gt_pose)) / _CORNER_RHO_PX
+    valid = (jnp.sum(mask, axis=(1, 2, 3)) > 0).astype(jnp.float32)
+    return _mean(huber_loss(pc, tc, valid[:, None, None] * scale))
 
 
 class _TaskBase:
@@ -93,6 +130,9 @@ class LPTask(_TaskBase):
             "LP_class": _mean(softmax_ce_loss(
                 out[..., 7:], t.cls, t.mask * sc["LP_class"])),
         }
+        if sc.get("LP_corner", 0.0):
+            losses["LP_corner"] = _lp_corner_loss(
+                out, t.mask, labels, spec, sc["LP_corner"])
         return sum(losses.values()), (losses, new_stats)
 
 
@@ -219,6 +259,9 @@ class JointTask(_TaskBase):
             "LP_class": _mean(softmax_ce_loss(lp_out[..., 7:], t.cls,
                                               t.mask * sc["LP_class"])),
         })
+        if sc.get("LP_corner", 0.0):
+            losses["LP_corner"] = _lp_corner_loss(
+                lp_out, t.mask, lp_labels, spec, sc["LP_corner"])
         total = sum(v for k, v in losses.items() if not k.startswith("_"))
         return total, (losses, new_stats)
 
