@@ -197,6 +197,40 @@ def test_compare_cls_ids_peak_shift_keeps_plate():
     assert r["plate_match"] == 0.75
 
 
+def test_compare_cls_ids_borderline_vs_confident():
+    """With reference scores attached, a plate whose mismatch sits at a
+    near-threshold column is 'borderline' (excluded from the gated
+    figure — two compiles of one program legitimately flip it), while a
+    mismatch at a confident column still fails plate_match_confident."""
+    from yolo_tpu.tools.pjrt_node_demo import compare_cls_ids
+    want = np.full((4, 8), -1, np.int32)
+    want[:, 2], want[:, 5] = 7, 12
+    scores = np.full((4, 8), 0.05, np.float32)
+    scores[:, 2], scores[:, 5] = 0.95, 0.95
+    # plate 0: mismatch at a column whose score hugs the 0.6 threshold
+    got = want.copy()
+    got[0, 6] = 3
+    scores[0, 6] = 0.62
+    r = compare_cls_ids(got, want, scores=scores)
+    assert r["plate_match"] == 0.75
+    assert r["borderline_frac"] == 0.25
+    assert r["plate_match_confident"] == 1.0
+    # plate 1: class flip at a confidently-scored peak — no excuse
+    got[1, 5] = 13
+    r = compare_cls_ids(got, want, scores=scores)
+    assert r["plate_match_confident"] == 2 / 3
+    # near-tie with a NEIGHBOUR (not the threshold) is borderline too
+    got2 = want.copy()
+    got2[2, 2], got2[2, 3] = -1, 7
+    scores2 = scores.copy()
+    scores2[2, 3] = 0.93                  # within 0.05 of column 2's 0.95
+    r = compare_cls_ids(got2, want, scores=scores2)
+    assert r["borderline_frac"] == 0.0    # same decoded string, no flag
+    got2[3, 2] = -1                       # peak lost at a confident col
+    r = compare_cls_ids(got2, want, scores=scores2)
+    assert r["plate_match_confident"] == 3 / 4
+
+
 @pytest.mark.slow
 def test_packed_serving_head_matches_joint_result():
     """JointPipeline.packed_call returns ONE (B, K) f32 tensor whose
