@@ -43,6 +43,22 @@ def test_iou_identity_and_disjoint():
     np.testing.assert_allclose(ious[1], 0.0, atol=1e-6)
 
 
+def test_iou_ltrb_label_is_yxhw_not_ltrb():
+    """iou_ltrb's LABEL argument is yxhw (reference get_iou mode=2
+    semantics) — passing a label already converted to ltrb silently
+    computes garbage (caused eval_joint_cascade to report car IoU 0.06
+    for a 0.70-IoU checkpoint, reports/eval_carlp_v4_cascade.json)."""
+    rng = np.random.default_rng(7)
+    yxhw = jnp.asarray(
+        np.c_[rng.uniform(0.3, 0.7, (16, 2)), rng.uniform(0.1, 0.3, (16, 2))],
+        jnp.float32)
+    # pred == label  =>  IoU 1 exactly when the label stays yxhw
+    good = jax.vmap(iou_ltrb)(yxhw_to_ltrb(yxhw), yxhw)
+    np.testing.assert_allclose(good, 1.0, atol=1e-6)
+    bad = jax.vmap(iou_ltrb)(yxhw_to_ltrb(yxhw), yxhw_to_ltrb(yxhw))
+    assert float(jnp.max(bad)) < 0.99  # the double-convert trap is NOT IoU 1
+
+
 def test_iou_half_overlap():
     label = jnp.asarray([0.5, 0.5, 0.2, 0.2])
     shifted = jnp.asarray([0.4, 0.4, 0.5, 0.6])  # half-width shift in x

@@ -307,9 +307,11 @@ def eval_joint_cascade(joint_task, joint_variables, ocr_task, ocr_variables,
         corners = np.asarray(res.corners)
         lp = np.asarray(res.lp)
         ocr_cls = np.asarray(res.ocr_cls)
+        # iou_ltrb takes the LABEL in yxhw form (ops/boxes.py:43); only the
+        # prediction side is converted to ltrb
         ious = np.asarray(jax.vmap(iou_ltrb)(
             yxhw_to_ltrb(jnp.asarray(car[:, 1:5])),
-            yxhw_to_ltrb(jnp.asarray(car_labels[:, 0, 1:5]))))
+            jnp.asarray(car_labels[:, 0, 1:5])))
         for i in range(batch):
             truth = "".join(CLASS_NAMES[int(c)] for c in chars[i])
             pred = peaks_to_text(ocr_cls[i])
