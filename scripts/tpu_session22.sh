@@ -127,6 +127,26 @@ if [ ! -f reports/pjrt_node_b64.json ]; then
     commit_now "Native node batch-64 point: FPS vs the per-harvest d2h floor"
 fi
 
+# ---- phase D2: stranded session-20 probes ---------------------------------
+# batch sweep past the current optimum (128 -> 1700 FPS; 96 -> 1639) and
+# the 512-plate cascade eval on the best lp x ocr combo
+for b in 160 192; do
+    if [ ! -f "reports/bench_b${b}.json" ]; then
+        ensure_chip
+        YOLO_TPU_BENCH_BATCH=$b $RS --name "bench_b${b}" --timeout 900 \
+            --allow-fail --artifact "reports/bench_b${b}.json" \
+            --last-line -- python bench.py
+    fi
+done
+if [ ! -f reports/eval_cascade_highn.json ]; then
+    ensure_chip
+    $RS --name cascade_highn --timeout 2400 --allow-fail \
+        --artifact reports/eval_cascade_highn.json --check -- \
+        python -m yolo_tpu.tools.cascade_eval --lp "$LPW" --ocr "$OCRW" \
+            --batches 16 --out reports/eval_cascade_highn.json
+fi
+commit_now "Stranded session-20 probes: batch 160/192 + 512-plate cascade"
+
 # ---- phase E: final headline bench + manifest ------------------------------
 ensure_chip
 $RS --name bench_final_r4e --timeout 900 --allow-fail \
