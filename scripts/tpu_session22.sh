@@ -89,13 +89,14 @@ if [ ! -f reports/eval_car_v4.json ]; then
     ensure_chip
     $RS --name car_v4_eval --timeout 1500 --allow-fail \
         --artifact reports/eval_car_v4.json --last-line -- \
-        python -m yolo_tpu.apps.car runs/car_v4 eval
+        python -m yolo_tpu.apps.car runs/car_v4 eval --weight trained/car_v4
     for st in 0.3 0.5; do
         ensure_chip
         $RS --name "car_v4_mo3_s${st}" --timeout 1500 --allow-fail \
             --artifact "reports/eval_car_v4_mo3_s${st}.json" \
             --last-line -- \
             python -m yolo_tpu.apps.car runs/car_v4 eval \
+                --weight trained/car_v4 \
                 --topk 8 --num-obj 3 --nms-iou 0.45 --score-thresh "$st"
     done
     commit_now "car_v4 evals: single-object + multi-object at trained density"
