@@ -25,4 +25,24 @@ static shapes, bf16-on-MXU friendly blocks, lax control flow.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: a single session runs the same
+# programs from many processes (train watchdog relaunches, eval tools,
+# bench), and first-compile on the chip is 20 s-minutes each. Opt out
+# with YOLO_TPU_NO_COMPILE_CACHE=1; override dir with JAX_COMPILATION_CACHE_DIR
+# (stock JAX env var, respected by jax itself when set).
+if not _os.environ.get("YOLO_TPU_NO_COMPILE_CACHE") and not _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR"
+):
+    try:  # pragma: no cover - environment-dependent
+        import jax as _jax
+
+        _cache = _os.path.expanduser("~/.cache/yolo_tpu_xla")
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 from yolo_tpu.config import Spec, load_spec  # noqa: F401
