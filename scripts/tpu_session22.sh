@@ -84,6 +84,34 @@ if [ -d trained/carlp_v5 ] && [ ! -f reports/eval_carlp_v5.json ]; then
     commit_now "carlp_v5 evals: joint pose + post-label-fix fused cascade"
 fi
 
+# ---- phase A2: ocr_v4 cascade-rematch leg ---------------------------------
+# lp_v5 moved corner IoU 0.877 -> 0.901 but exact held at 94.1% w/ char
+# 97.6%: OCR-on-crops is now binding. Retrain OCR against the lp_v5-era
+# pose-noise distribution (runs/ocr_v4/spec.yaml), then re-measure the
+# cascade at 256 and 512 plates.
+if [ ! -d trained/ocr_v4 ]; then
+    ensure_chip
+    $RS --name ocr_v4_train --timeout 3600 --allow-fail -- \
+        python scripts/watchdog_train.py \
+            --metrics runs/ocr_v4/logs/metrics.jsonl --stale 420 \
+            --grace 1500 -- \
+            python -m yolo_tpu.apps.ocr runs/ocr_v4 train \
+                --until-step 4000 --bf16 1 --weight trained/ocr_v3
+    $RS --name pkg_ocr_v4 --timeout 1200 --allow-fail -- \
+        python -m yolo_tpu.tools.package_weights --src runs/ocr_v4/backup \
+            --dst trained/ocr_v4 --force
+    commit_now "ocr_v4: cascade distribution re-matched to lp_v5 poses"
+fi
+if [ -d trained/ocr_v4 ] && [ ! -f reports/eval_cascade_v5_ocr4.json ]; then
+    ensure_chip
+    $RS --name cascade_v5_ocr4 --timeout 1500 --allow-fail \
+        --artifact reports/eval_cascade_v5_ocr4.json --check -- \
+        python -m yolo_tpu.tools.cascade_eval --lp trained/lp_v5 \
+            --ocr trained/ocr_v4 --batches 8 \
+            --out reports/eval_cascade_v5_ocr4.json
+    commit_now "Cascade eval: lp_v5 x ocr_v4 (95%-exact push)"
+fi
+
 # ---- phase B: car_v4 single + multi-object evals --------------------------
 if [ ! -f reports/eval_car_v4.json ]; then
     ensure_chip
@@ -105,6 +133,7 @@ fi
 # ---- phase C: real-image stress with the best LPD -------------------------
 LPW=trained/lp_v4
 [ -d trained/lp_v5 ] && LPW=trained/lp_v5
+[ -d trained/ocr_v4 ] && OCRW=trained/ocr_v4
 if [ ! -f reports/real_image_v5.json ]; then
     ensure_chip
     $RS --name real_image_v5 --timeout 900 --allow-fail \
