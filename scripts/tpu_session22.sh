@@ -136,7 +136,7 @@ LPW=trained/lp_v4
 [ -d trained/ocr_v4 ] && OCRW=trained/ocr_v4
 if [ ! -f reports/real_image_v5.json ]; then
     ensure_chip
-    $RS --name real_image_v5 --timeout 900 --allow-fail \
+    $RS --name real_image_v5 --timeout 2400 --allow-fail \
         --artifact reports/real_image_v5.json --check -- \
         python -m yolo_tpu.tools.real_image --lp "$LPW" --ocr "$OCRW" \
             --out reports/real_image_v5.json --save-dir reports/real_image_v5

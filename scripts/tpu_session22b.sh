@@ -44,7 +44,7 @@ LPW=trained/lp_v4
 # ---- 1: real-image stress on the noise-robust corner LPD ----------------
 if [ ! -f reports/real_image_v5.json ]; then
     ensure_chip
-    $RS --name real_image_v5 --timeout 1200 --allow-fail \
+    $RS --name real_image_v5 --timeout 2400 --allow-fail \
         --artifact reports/real_image_v5.json --check -- \
         python -m yolo_tpu.tools.real_image --lp "$LPW" --ocr "$OCRW" \
             --out reports/real_image_v5.json --save-dir reports/real_image_v5
