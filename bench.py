@@ -105,8 +105,8 @@ def main():
     # benched program must be the real deployable artifact).
     from yolo_tpu.config import load_spec
     joint_dir, spec, spec_src = None, None, "builtin carlp_v1"
-    for d in ("trained/carlp_v4", "trained/carlp_v3", "trained/carlp_v2",
-              "trained/carlp_v1"):
+    for d in ("trained/carlp_v6", "trained/carlp_v5", "trained/carlp_v4",
+              "trained/carlp_v3", "trained/carlp_v2", "trained/carlp_v1"):
         if not os.path.isdir(d):
             continue
         name = os.path.basename(d)

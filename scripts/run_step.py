@@ -12,10 +12,14 @@ nobody noticed. This runner makes that impossible:
 * with --check the artifact must exist, be non-empty and parse as JSON
   after the command ran (for tools that write their own --out file);
 * --allow-fail marks steps whose failure shouldn't abort a queue; the
-  failure is still logged loudly and no artifact is produced.
+  failure is still logged loudly and no artifact is produced;
+* --retries N re-runs a failed attempt up to N more times. Round-4
+  post-mortem: three evidence runs died at cold-compile timeouts on a
+  fresh VM; with the persistent XLA cache the retry recompiles from
+  cache in seconds, so one retry converts those into artifacts.
 
 Usage:
-  python scripts/run_step.py --name car_eval --timeout 900 \
+  python scripts/run_step.py --name car_eval --timeout 900 --retries 1 \
       --artifact reports/eval_car_final.json --last-line -- \
       python -m yolo_tpu.apps.car trained/car_v1 eval
 """
@@ -31,38 +35,16 @@ import threading
 import time
 
 
-def main() -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--name", required=True)
-    p.add_argument("--artifact", default=None)
-    p.add_argument("--last-line", action="store_true",
-                   help="artifact = last stdout line (validated JSON)")
-    p.add_argument("--check", action="store_true",
-                   help="command writes the artifact itself; verify it")
-    p.add_argument("--timeout", type=float, default=1800.0)
-    p.add_argument("--allow-fail", action="store_true")
-    p.add_argument("cmd", nargs=argparse.REMAINDER)
-    args = p.parse_args()
-    cmd = args.cmd
-    if cmd and cmd[0] == "--":
-        cmd = cmd[1:]
-    if not cmd:
-        print(f"[run_step:{args.name}] ERROR: empty command", file=sys.stderr)
-        return 2
-
-    os.makedirs("reports/logs", exist_ok=True)
-    log_path = f"reports/logs/{args.name}.log"
-    if args.artifact and os.path.exists(args.artifact):
-        # quarantine the previous run's artifact (both --check and
-        # --last-line): a step that fails must not let the old file pass
-        # the end-of-queue manifest as this run's evidence
-        os.replace(args.artifact, args.artifact + ".prev")
+def run_attempt(cmd: list[str], log_path: str, timeout: float,
+                attempt: int) -> tuple[int, list[str], float]:
+    """One supervised child run. Returns (rc, stdout lines, elapsed)."""
     t0 = time.time()
-    print(f"[run_step:{args.name}] RUN {' '.join(cmd)}", flush=True)
     out_lines: list[str] = []
     rc: int
-    with open(log_path, "w") as log:
-        log.write(f"# cmd: {' '.join(cmd)}\n# start: {time.ctime()}\n")
+    mode = "w" if attempt == 0 else "a"
+    with open(log_path, mode) as log:
+        log.write(f"# cmd: {' '.join(cmd)}\n# start: {time.ctime()}"
+                  f"  attempt: {attempt}\n")
         log.flush()
         try:
             # start_new_session: the deadline must kill the WHOLE process
@@ -90,7 +72,7 @@ def main() -> int:
                     timed_out.set()
                     _kill_group()
 
-            killer = threading.Timer(args.timeout, _kill_on_deadline)
+            killer = threading.Timer(timeout, _kill_on_deadline)
             killer.daemon = True
             killer.start()
             assert proc.stdout is not None
@@ -101,22 +83,68 @@ def main() -> int:
             rc = proc.wait(timeout=60)
             killer.cancel()
             if timed_out.is_set():
-                log.write(f"\n# runner: killed at {args.timeout:.0f}s "
-                          f"timeout\n")
+                log.write(f"\n# runner: killed at {timeout:.0f}s timeout\n")
                 rc = -9
         except subprocess.TimeoutExpired:
-            _kill_group()
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except Exception:
+                pass
             rc = -9
         except Exception as e:  # noqa: BLE001 — a runner must not crash
             log.write(f"\n# runner exception: {e!r}\n")
             rc = -1
         dt = time.time() - t0
         log.write(f"# rc: {rc}  elapsed: {dt:.1f}s\n")
+    return rc, out_lines, dt
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", required=True)
+    p.add_argument("--artifact", default=None)
+    p.add_argument("--last-line", action="store_true",
+                   help="artifact = last stdout line (validated JSON)")
+    p.add_argument("--check", action="store_true",
+                   help="command writes the artifact itself; verify it")
+    p.add_argument("--timeout", type=float, default=1800.0)
+    p.add_argument("--retries", type=int, default=0,
+                   help="re-run a failed attempt up to N more times "
+                        "(cold-compile timeouts retry warm from the "
+                        "persistent XLA cache)")
+    p.add_argument("--allow-fail", action="store_true")
+    p.add_argument("cmd", nargs=argparse.REMAINDER)
+    args = p.parse_args()
+    cmd = args.cmd
+    if cmd and cmd[0] == "--":
+        cmd = cmd[1:]
+    if not cmd:
+        print(f"[run_step:{args.name}] ERROR: empty command", file=sys.stderr)
+        return 2
+
+    os.makedirs("reports/logs", exist_ok=True)
+    log_path = f"reports/logs/{args.name}.log"
+    if args.artifact and os.path.exists(args.artifact):
+        # quarantine the previous run's artifact (both --check and
+        # --last-line): a step that fails must not let the old file pass
+        # the end-of-queue manifest as this run's evidence
+        os.replace(args.artifact, args.artifact + ".prev")
+
+    rc, out_lines, dt = -1, [], 0.0
+    for attempt in range(args.retries + 1):
+        print(f"[run_step:{args.name}] RUN (attempt {attempt}) "
+              f"{' '.join(cmd)}", flush=True)
+        rc, out_lines, dt = run_attempt(cmd, log_path, args.timeout, attempt)
+        if rc == 0:
+            break
+        tail = "\n".join(out_lines[-15:])
+        print(f"[run_step:{args.name}] attempt {attempt} FAILED rc={rc} "
+              f"after {dt:.1f}s. Log tail:\n{tail}", flush=True)
 
     if rc != 0:
-        tail = "\n".join(out_lines[-15:])
-        print(f"[run_step:{args.name}] FAILED rc={rc} after {dt:.1f}s — "
-              f"NO artifact written. Log tail:\n{tail}", flush=True)
+        print(f"[run_step:{args.name}] FAILED rc={rc} after "
+              f"{args.retries + 1} attempt(s) — NO artifact written.",
+              flush=True)
         return 0 if args.allow_fail else 1
 
     if args.artifact and args.last_line:

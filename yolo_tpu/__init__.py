@@ -42,7 +42,12 @@ if not _os.environ.get("YOLO_TPU_NO_COMPILE_CACHE") and not _os.environ.get(
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    except Exception as _e:  # pragma: no cover - environment-dependent
+        # A disabled cache means every fresh process repays minutes of
+        # compile — make that visible in session logs instead of silent.
+        import warnings as _warnings
+
+        _warnings.warn(f"yolo_tpu: persistent XLA compile cache disabled "
+                       f"({_e!r})", stacklevel=1)
 
 from yolo_tpu.config import Spec, load_spec  # noqa: F401
