@@ -161,8 +161,13 @@ int main(int argc, char** argv) {
   const char* weights_path = argc > 10 && argv[10][0] ? argv[10] : nullptr;
   const char* dump_dir = argc > 11 && argv[11][0] ? argv[11] : nullptr;
   // "u8": stream raw uint8 frames and let the device program do the
-  // letterbox + /255 normalize — 4x less H2D traffic than f32 batches
-  const bool u8_input = argc > 12 && strcmp(argv[12], "u8") == 0;
+  // letterbox + /255 normalize — 4x less H2D traffic than f32 batches.
+  // "nv12": stream packed NV12 (fh*3/2 x fw bytes/frame, the camera-
+  // native 4:2:0 format); the device program does BT.601 conversion +
+  // letterbox — HALF the u8-RGB bytes on a bandwidth-bound transport.
+  const bool nv12_input = argc > 12 && strcmp(argv[12], "nv12") == 0;
+  const bool u8_input =
+      nv12_input || (argc > 12 && strcmp(argv[12], "u8") == 0);
   int depth = argc > 13 ? atoi(argv[13]) : 2;
   if (depth < 1) depth = 1;
 
@@ -210,23 +215,33 @@ int main(int argc, char** argv) {
   // dumped batches align with the checker's reference slices.
   const int capacity =
       max_batches > 0 ? max_batches * batch + batch : 4 * batch;
-  void* ring = fp_ring_create(capacity, fh, fw);
+  // nv12 frames are fh*3/2 * fw bytes = 3 * (fh/2) * fw: a ring slot of
+  // height fh/2 holds exactly one packed NV12 frame, so the ring and the
+  // raw-stream reader work unchanged
+  void* ring = fp_ring_create(capacity, nv12_input ? fh / 2 : fh, fw);
   fp_start_raw_stream(ring, frames_path);
 
   // depth host buffer slots: an async dispatch's host memory must stay
   // valid until its harvest (kImmutableUntilTransferCompletes h2d events
   // are awaited in ps_await_next), so each in-flight batch owns a slot
+  // bytes of one streamed frame on the wire
+  const size_t frame_bytes =
+      nv12_input ? static_cast<size_t>(fh) * 3 / 2 * fw
+                 : static_cast<size_t>(fh) * fw * 3;
   const size_t fbuf_sz = u8_input ? 0 : static_cast<size_t>(batch) * nh *
                                             nw * 3;
-  const size_t ubuf_sz = u8_input ? static_cast<size_t>(batch) * fh * fw *
-                                        3 : 0;
+  const size_t ubuf_sz = u8_input ? static_cast<size_t>(batch) *
+                                        frame_bytes : 0;
   std::vector<std::vector<float>> bufs(depth, std::vector<float>(fbuf_sz));
   std::vector<std::vector<uint8_t>> ubufs(depth,
                                           std::vector<uint8_t>(ubuf_sz));
-  const int64_t dims[4] = {batch, u8_input ? fh : nh, u8_input ? fw : nw,
-                           3};
+  // nv12: rank-3 (B, fh*3/2, fw) u8; u8: (B, fh, fw, 3); f32: (B, nh, nw, 3)
+  const int64_t dims[4] = {batch,
+                           nv12_input ? static_cast<int64_t>(fh) * 3 / 2
+                                      : (u8_input ? fh : nh),
+                           u8_input ? fw : nw, 3};
   const int64_t* dimp[1] = {dims};
-  const int ndims[1] = {4};
+  const int ndims[1] = {nv12_input ? 3 : 4};
   const int types[1] = {u8_input ? 2 : 0};  // u8 | f32
 
   int dispatched = 0, harvested = 0;
@@ -282,8 +297,8 @@ int main(int argc, char** argv) {
     while (got < batch) {
       int k = u8_input
                   ? fp_ring_pop_batch_u8(
-                        ring, uslot + static_cast<size_t>(got) * fh * fw *
-                                          3,
+                        ring, uslot + static_cast<size_t>(got) *
+                                          frame_bytes,
                         batch - got)
                   : fp_ring_pop_batch(
                         ring, fslot + static_cast<size_t>(got) * nh * nw *
@@ -300,7 +315,7 @@ int main(int argc, char** argv) {
     // partial TAIL batch (eos): repeat the last frame to keep the
     // shape static
     if (u8_input) {
-      const size_t fsz = static_cast<size_t>(fh) * fw * 3;
+      const size_t fsz = frame_bytes;
       for (int i = got; i < batch; i++)
         memcpy(uslot + i * fsz, uslot + (got - 1) * fsz, fsz);
     } else {

@@ -268,8 +268,15 @@ const char* ps_last_error(void* handle) {
 }
 
 // Compile StableHLO (MLIR bytecode or text). Returns 0 on success.
+// May be called again to swap programs on one client (e.g. the
+// transport-probe tool); cached output metadata is per-program and
+// must be invalidated or the next harvest reads stale sizes.
 int ps_compile(void* handle, const char* code, size_t code_size) {
   Shim* s = static_cast<Shim*>(handle);
+  s->meta_cached = false;
+  s->out_dims.clear();
+  s->out_types.clear();
+  s->cached_nbytes.clear();
   PJRT_Program prog;
   memset(&prog, 0, sizeof(prog));
   prog.struct_size = PJRT_Program_STRUCT_SIZE;

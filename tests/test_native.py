@@ -344,3 +344,92 @@ def test_export_serving_writes_native_artifact(tmp_path):
         assert f.read(4) == b"YTW1"
         (n_tensors,) = struct.unpack("<i", f.read(4))
     assert n_tensors == 1
+
+
+def test_nv12_decode_matches_numpy_reference():
+    """ops.image.nv12_to_rgb must implement exactly full-range BT.601
+    with nearest chroma upsampling (the host encoder's twin)."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.image import nv12_to_rgb, rgb_to_nv12
+
+    rng = np.random.default_rng(3)
+    nv = rng.integers(0, 256, (2, 12, 16), np.uint8)   # fh=8, fw=16
+    got = np.asarray(nv12_to_rgb(jnp.asarray(nv), (8, 16)))
+
+    y = nv[:, :8, :].astype(np.float32)
+    uv = nv[:, 8:, :].reshape(2, 4, 8, 2).astype(np.float32) - 128.0
+    uv = uv.repeat(2, axis=1).repeat(2, axis=2)
+    r = y + 1.402 * uv[..., 1]
+    g = y - 0.344136 * uv[..., 0] - 0.714136 * uv[..., 1]
+    b = y + 1.772 * uv[..., 0]
+    want = np.clip(np.stack([r, g, b], -1) / 255.0, 0.0, 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # encoder twin round-trips chroma-flat content to ~1/255
+    base = rng.integers(0, 256, (1, 4, 5, 3)).astype(np.uint8)
+    img = np.repeat(np.repeat(base, 2, 1), 2, 2)
+    back = np.asarray(nv12_to_rgb(jnp.asarray(rgb_to_nv12(img)),
+                                  (8, 10))) * 255.0
+    assert np.abs(back - img).max() < 2.0
+
+
+@pytest.mark.slow
+def test_serving_fn_nv12_wiring(tmp_path):
+    """make_serving_fn(nv12=True) must equal packed_call on the device-
+    decoded + letterboxed frames — exact wiring, no tolerance games."""
+    import jax
+    import jax.numpy as jnp
+    from tests.test_pipeline import tiny_carlp_spec, tiny_ocr_spec
+    from yolo_tpu.ops.image import nv12_to_rgb, rgb_to_nv12
+    from yolo_tpu.pipeline import JointPipeline
+    from yolo_tpu.serve.export import flatten_weights, make_serving_fn
+    from yolo_tpu.train.tasks import make_task
+
+    joint = make_task("carlp", tiny_carlp_spec())
+    ocr = make_task("ocr", tiny_ocr_spec())
+    k = jax.random.PRNGKey(0)
+    jv, ov = joint.init_variables(k), ocr.init_variables(k)
+    pipe = JointPipeline(joint, ocr)
+    nh, nw = pipe.spec.size
+    fh, fw = nh - 8, nw - 8
+
+    flat, unflatten = flatten_weights((jv, ov))
+    fn = make_serving_fn(pipe, unflatten, u8_hw=(fh, fw), nv12=True)
+
+    rng = np.random.default_rng(0)
+    frames = rgb_to_nv12(
+        rng.integers(0, 256, (2, fh, fw, 3)).astype(np.uint8))
+    got = fn(jnp.asarray(frames), jnp.asarray(flat))[0]
+
+    rgb = nv12_to_rgb(jnp.asarray(frames), (fh, fw))
+    dy, dx = (nh - fh) // 2, (nw - fw) // 2
+    boxed = jnp.pad(rgb, ((0, 0), (dy, nh - fh - dy),
+                          (dx, nw - fw - dx), (0, 0)),
+                    constant_values=0.5)
+    jv2, ov2 = unflatten(jnp.asarray(flat))
+    want = pipe.packed_call(jv2, ov2, boxed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_export_serving_nv12_artifact(tmp_path):
+    """nv12 export: rank-3 packed input spec + meta input tag."""
+    import jax
+    from tests.test_pipeline import tiny_carlp_spec, tiny_ocr_spec
+    from yolo_tpu.pipeline import JointPipeline
+    from yolo_tpu.serve.export import export_serving
+    from yolo_tpu.train.tasks import make_task
+
+    joint = make_task("carlp", tiny_carlp_spec())
+    ocr = make_task("ocr", tiny_ocr_spec())
+    k = jax.random.PRNGKey(0)
+    jv, ov = joint.init_variables(k), ocr.init_variables(k)
+    pipe = JointPipeline(joint, ocr)
+
+    out = export_serving(pipe, jv, ov, str(tmp_path), batch=2,
+                         frame_hw=(56, 88), u8=True, nv12=True,
+                         platforms=["cpu"])
+    assert out["meta"]["input"] == "nv12"
+    assert os.path.getsize(out["module"]) > 0

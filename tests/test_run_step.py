@@ -123,3 +123,33 @@ def test_last_line_failure_quarantines_stale_artifact(tmp_path):
     assert r.returncode == 1
     assert not art.exists()
     assert (tmp_path / "out.json.prev").exists()
+
+
+def test_retries_recovers_after_transient_failure(tmp_path):
+    """--retries 1 re-runs a failed attempt (round-4 post-mortem: three
+    cold-compile timeouts would have been saved by one warm retry). The
+    child fails on its first run, then succeeds via a marker file."""
+    script = tmp_path / "flaky.py"
+    script.write_text(
+        "import os, sys\n"
+        "m = 'marker.tmp'\n"
+        "if not os.path.exists(m):\n"
+        "    open(m, 'w').close()\n"
+        "    sys.exit(3)\n"
+        "print('{\"ok\": 1}')\n")
+    r = _run(tmp_path, "--name", "flaky", "--retries", "1",
+             "--artifact", "out.json", "--last-line", "--",
+             sys.executable, str(script))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert json.loads((tmp_path / "out.json").read_text()) == {"ok": 1}
+    assert "attempt 0 FAILED" in r.stdout
+    assert "attempt 1" in r.stdout
+
+
+def test_retries_exhausted_still_fails_loud(tmp_path):
+    r = _run(tmp_path, "--name", "dead", "--retries", "1",
+             "--artifact", "out.json", "--last-line", "--",
+             sys.executable, "-c", "raise SystemExit(4)")
+    assert r.returncode == 1
+    assert not (tmp_path / "out.json").exists()
+    assert "2 attempt(s)" in r.stdout

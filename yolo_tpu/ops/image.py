@@ -163,3 +163,69 @@ def white_balance(img, rgb_gains=None):
         avg = jnp.mean(img, axis=(-3, -2), keepdims=True)
         rgb_gains = jnp.sum(avg, -1, keepdims=True) / (avg * 3.0 + 1e-8)
     return jnp.clip(img * rgb_gains, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# NV12 (YUV420 semi-planar) ingestion — the native wire format of real
+# camera stacks (V4L2, GStreamer nvvidconv, the reference's Jetson
+# onboard-camera pipelines at yolo_modules/yolo_cv.py:321-345 emit I420/
+# NV12 before their host-side conversion to BGR). Streaming NV12 instead
+# of RGB u8 halves host->device bytes (1.5 vs 3 per pixel) — on a
+# bandwidth-bound serving transport that is a 2x frame-rate lever
+# (reports/transport_sol.json) — and moves the colour conversion onto
+# the TPU where it fuses with letterbox + normalize.
+# Full-range BT.601 (JFIF) coefficients; rgb_to_nv12 is the exact host-
+# side encoder twin (numpy, for producers/tests).
+
+def nv12_to_rgb(frames, frame_hw: Tuple[int, int]):
+    """Decode packed NV12 frames to RGB float32 in [0, 1], on device.
+
+    ``frames``: (B, fh*3//2, fw) uint8 — fh rows of Y, then fh//2 rows of
+    interleaved U,V at half resolution (semi-planar 4:2:0). ``frame_hw``
+    must be even. Chroma upsampling is nearest (2x2 repeat), matching
+    rgb_to_nv12's 2x2-mean subsampling closely enough for detection
+    inputs while staying a pure reshape/broadcast (no gathers).
+    """
+    fh, fw = frame_hw
+    assert fh % 2 == 0 and fw % 2 == 0, (fh, fw)
+    B = frames.shape[0]
+    y = frames[:, :fh, :].astype(jnp.float32)
+    uv = frames[:, fh:, :].reshape(B, fh // 2, fw // 2, 2).astype(
+        jnp.float32) - 128.0
+    # nearest 2x upsample via broadcast-reshape (layout-friendly: no gather)
+    uv = jnp.broadcast_to(uv[:, :, None, :, None, :],
+                          (B, fh // 2, 2, fw // 2, 2, 2))
+    uv = uv.reshape(B, fh, fw, 2)
+    u, v = uv[..., 0], uv[..., 1]
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1) / 255.0, 0.0, 1.0)
+
+
+def rgb_to_nv12(rgb_u8):
+    """Host-side (numpy) encoder twin of :func:`nv12_to_rgb`.
+
+    ``rgb_u8``: (B, fh, fw, 3) or (fh, fw, 3) uint8, even fh/fw. Returns
+    packed NV12 uint8 of shape (B, fh*3//2, fw) (batch dim preserved).
+    """
+    import numpy as np
+
+    single = rgb_u8.ndim == 3
+    if single:
+        rgb_u8 = rgb_u8[None]
+    B, fh, fw, _ = rgb_u8.shape
+    assert fh % 2 == 0 and fw % 2 == 0, (fh, fw)
+    rgb = rgb_u8.astype(np.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    v = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    # 4:2:0 chroma: 2x2 mean
+    u = u.reshape(B, fh // 2, 2, fw // 2, 2).mean(axis=(2, 4))
+    v = v.reshape(B, fh // 2, 2, fw // 2, 2).mean(axis=(2, 4))
+    uv = np.stack([u, v], axis=-1).reshape(B, fh // 2, fw)
+    out = np.concatenate(
+        [y, uv], axis=1)                     # (B, fh*3//2, fw)
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[0] if single else out

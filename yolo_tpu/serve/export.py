@@ -111,14 +111,23 @@ def write_weights_bin(leaves, path: str) -> int:
     return len(leaves)
 
 
-def make_serving_fn(pipe, unflatten, u8_hw=None):
+def make_serving_fn(pipe, unflatten, u8_hw=None, nv12: bool = False):
     """``fn(frames, flat_w) -> (packed,)`` for the native PJRT node:
     the fused cascade with the PACKED single-output head
     (pipeline.packed_call — no crops over the transport) and, with
     ``u8_hw=(fh, fw)``, raw uint8 ingestion whose on-device letterbox +
     /255 bit-matches framepipe's fp_ring_pop_batch (4x less H2D than
-    f32 batches)."""
+    f32 batches).
+
+    ``nv12=True`` (requires ``u8_hw``): frames arrive as packed NV12
+    (B, fh*3//2, fw) u8 — the native wire format of camera stacks —
+    and the BT.601 conversion runs on device (ops.image.nv12_to_rgb).
+    1.5 bytes/px instead of 3: on the bandwidth-bound serving
+    transport this doubles the frame-rate ceiling
+    (reports/transport_sol.json)."""
     import jax.numpy as jnp
+
+    from yolo_tpu.ops.image import nv12_to_rgb
 
     nh, nw = pipe.spec.size
 
@@ -126,7 +135,10 @@ def make_serving_fn(pipe, unflatten, u8_hw=None):
         if u8_hw is not None:
             fh, fw = u8_hw
             dy, dx = (nh - fh) // 2, (nw - fw) // 2
-            x = frames.astype(jnp.float32) / 255.0
+            if nv12:
+                x = nv12_to_rgb(frames, (fh, fw))
+            else:
+                x = frames.astype(jnp.float32) / 255.0
             frames = jnp.pad(
                 x, ((0, 0), (dy, nh - fh - dy), (dx, nw - fw - dx),
                     (0, 0)), constant_values=0.5)
@@ -138,7 +150,7 @@ def make_serving_fn(pipe, unflatten, u8_hw=None):
 
 def export_serving(pipe, joint_variables, ocr_variables, export_dir: str,
                    batch: int, frame_hw=(416, 416), u8: bool = True,
-                   platforms=("tpu",)):
+                   nv12: bool = False, platforms=("tpu",)):
     """One-call native serving artifact: everything pjrt_node consumes.
 
     Writes ``module_pjrt.mlir`` (raw StableHLO, data-only signature:
@@ -152,12 +164,20 @@ def export_serving(pipe, joint_variables, ocr_variables, export_dir: str,
     import numpy as np
 
     os.makedirs(export_dir, exist_ok=True)
+    if nv12 and not u8:
+        raise ValueError("nv12 ingestion requires u8=True")
     flat, unflatten = flatten_weights((joint_variables, ocr_variables))
     fh, fw = frame_hw
-    fn = make_serving_fn(pipe, unflatten, u8_hw=(fh, fw) if u8 else None)
+    fn = make_serving_fn(pipe, unflatten, u8_hw=(fh, fw) if u8 else None,
+                         nv12=nv12)
+    if nv12:
+        in_shape = (batch, fh * 3 // 2, fw)
+    elif u8:
+        in_shape = (batch, fh, fw, 3)
+    else:
+        in_shape = (batch,) + tuple(pipe.spec.size) + (3,)
     in_spec = jax.ShapeDtypeStruct(
-        (batch, fh, fw, 3) if u8 else (batch,) + tuple(pipe.spec.size)
-        + (3,), jnp.uint8 if u8 else jnp.float32)
+        in_shape, jnp.uint8 if u8 else jnp.float32)
     flat_spec = jax.ShapeDtypeStruct(np.shape(flat), np.float32)
     module_path = os.path.join(export_dir, "module_pjrt.mlir")
     export_stablehlo(fn, (in_spec, flat_spec), module_path,
@@ -165,7 +185,8 @@ def export_serving(pipe, joint_variables, ocr_variables, export_dir: str,
     weights_path = os.path.join(export_dir, "weights.bin")
     write_weights_bin([flat], weights_path)
     meta = {"batch": batch, "frame_hw": [fh, fw],
-            "net_hw": list(pipe.spec.size), "input": "u8" if u8 else "f32",
+            "net_hw": list(pipe.spec.size),
+            "input": "nv12" if nv12 else ("u8" if u8 else "f32"),
             "packed_sections": pipe.packed_sections(),
             "warp_impl": pipe.warp_impl, "topk": pipe.topk}
     with open(os.path.join(export_dir, "meta.json"), "w") as f:

@@ -59,7 +59,7 @@ def toy_model():
 
 
 def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool,
-                u8_hw=None, packed: bool = False):
+                u8_hw=None, packed: bool = False, nv12: bool = False):
     """The trained flagship: JointPipeline (CarLPNet + OCR cascade)."""
     from yolo_tpu.config import builtin_spec
     from yolo_tpu.pipeline import JointPipeline
@@ -101,7 +101,7 @@ def carlp_model(weights_dir: str, ocr_weights_dir: str, bf16: bool,
         # remote axon transport is latency-bound (a ToHostBuffer start
         # + an event-await round-trip each), so 5 outputs cost 5 waves
         # where 1 packed tensor costs 1. Host slices packed_sections().
-        fn = make_serving_fn(pipe, unflatten, u8_hw=u8_hw)
+        fn = make_serving_fn(pipe, unflatten, u8_hw=u8_hw, nv12=nv12)
     else:
         nh, nw = spec.size
 
@@ -293,7 +293,8 @@ def _build_model(args, fh, fw):
     if args.model == "carlp":
         return carlp_model(
             args.weights, args.ocr_weights, args.bf16,
-            u8_hw=(fh, fw) if args.u8 else None, packed=args.packed)
+            u8_hw=(fh, fw) if args.u8 else None, packed=args.packed,
+            nv12=args.nv12)
     fn, leaves = toy_model()
     return fn, leaves, None
 
@@ -349,7 +350,8 @@ def _compute_ref_batches(args, fh, fw, nh, nw, frames_u8, fn, leaves):
                     "--batch", str(args.batch),
                     "--batches", str(args.batches)]
             for flag, on in (("--bf16", args.bf16), ("--u8", args.u8),
-                             ("--packed", args.packed)):
+                             ("--packed", args.packed),
+                             ("--nv12", args.nv12)):
                 if on:
                     argv.append(flag)
             r = subprocess.run(argv, capture_output=True, text=True,
@@ -391,6 +393,11 @@ def main(argv=None):
                    help="serving-mode export: all outputs concatenated "
                         "into ONE (B, K) f32 tensor — one d2h latency "
                         "wave per batch instead of five (carlp only)")
+    p.add_argument("--nv12", action="store_true",
+                   help="stream packed NV12 (4:2:0) frames — the camera-"
+                        "native format, HALF the u8-RGB bytes on the "
+                        "bandwidth-bound transport; BT.601 conversion "
+                        "runs on device (requires --u8 --packed)")
     p.add_argument("--depth", type=int, default=2,
                    help="node dispatch pipeline depth (1 = synchronous)")
     p.add_argument("--batch", type=int, default=4)
@@ -410,6 +417,8 @@ def main(argv=None):
 
     if (args.u8 or args.packed) and args.model != "carlp":
         raise SystemExit("--u8/--packed require --model carlp")
+    if args.nv12 and not (args.u8 and args.packed):
+        raise SystemExit("--nv12 requires --u8 --packed")
 
     if args.ref_worker:
         # the axon TPU plugin ignores the JAX_PLATFORMS env var; the
@@ -442,6 +451,12 @@ def main(argv=None):
         spec = builtin_spec("carlp_v1")
         frames_u8 = render_scenes(n_frames, fh, fw, spec.classes,
                                   spec.LP_r_max)
+        if args.nv12:
+            # the wire array IS the NV12 bytes from here on: the raw
+            # stream file, the node input and the jax reference all
+            # consume the identical packed frames
+            from yolo_tpu.ops.image import rgb_to_nv12
+            frames_u8 = rgb_to_nv12(frames_u8)
     else:
         fh = fw = 96
         nh = nw = 128
@@ -463,8 +478,12 @@ def main(argv=None):
         leaf_specs = tuple(
             jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
             for l in leaves)
-        in_spec = (jnp.zeros((B, fh, fw, 3), jnp.uint8) if args.u8
-                   else jnp.zeros((B, nh, nw, 3), jnp.float32))
+        if args.nv12:
+            in_spec = jnp.zeros((B, fh * 3 // 2, fw), jnp.uint8)
+        elif args.u8:
+            in_spec = jnp.zeros((B, fh, fw, 3), jnp.uint8)
+        else:
+            in_spec = jnp.zeros((B, nh, nw, 3), jnp.float32)
         export_stablehlo(fn, (in_spec,) + leaf_specs, module,
                          platforms=["tpu"])
         weights_bin = os.path.join(td, "weights.bin")
@@ -519,7 +538,8 @@ def main(argv=None):
     # compare_cls_ids).
     summary["model"] = args.model
     summary["dtype"] = "bfloat16" if args.bf16 else "float32"
-    summary["input"] = "u8" if args.u8 else "f32"
+    summary["input"] = ("nv12" if args.nv12
+                        else ("u8" if args.u8 else "f32"))
     summary["packed"] = bool(args.packed)
     summary["ref_backend"] = ref_backend
     summary["gates"] = {"rel_tol": rel_tol, "bad_frac_max": bad_max,
