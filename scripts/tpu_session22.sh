@@ -113,12 +113,18 @@ if [ -d trained/ocr_v4 ] && [ ! -f reports/eval_cascade_v5_ocr4.json ]; then
 fi
 
 # ---- phase B: car_v4 single + multi-object evals --------------------------
+# PER-ARTIFACT guards (ADVICE r4): one shared guard re-ran the completed
+# mo3 evals whenever the single-object artifact was missing — run_step's
+# quarantine + a mid-queue failure could then commit their deletion.
 if [ ! -f reports/eval_car_v4.json ]; then
     ensure_chip
-    $RS --name car_v4_eval --timeout 1500 --allow-fail \
+    $RS --name car_v4_eval --timeout 3600 --allow-fail \
         --artifact reports/eval_car_v4.json --last-line -- \
         python -m yolo_tpu.apps.car runs/car_v4 eval --weight trained/car_v4
-    for st in 0.3 0.5; do
+    commit_now "car_v4 single-object eval"
+fi
+for st in 0.3 0.5; do
+    if [ ! -f "reports/eval_car_v4_mo3_s${st}.json" ]; then
         ensure_chip
         $RS --name "car_v4_mo3_s${st}" --timeout 1500 --allow-fail \
             --artifact "reports/eval_car_v4_mo3_s${st}.json" \
@@ -126,9 +132,9 @@ if [ ! -f reports/eval_car_v4.json ]; then
             python -m yolo_tpu.apps.car runs/car_v4 eval \
                 --weight trained/car_v4 \
                 --topk 8 --num-obj 3 --nms-iou 0.45 --score-thresh "$st"
-    done
-    commit_now "car_v4 evals: single-object + multi-object at trained density"
-fi
+        commit_now "car_v4 multi-object eval (3 cars, score $st)"
+    fi
+done
 
 # ---- phase C: real-image stress with the best LPD -------------------------
 LPW=trained/lp_v4

@@ -43,8 +43,16 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=448)
     p.add_argument("--trace", default=None,
                    help="write a jax.profiler trace of the full pipeline")
+    p.add_argument("--trunk", action="store_true",
+                   help="decompose the joint FORWARD instead: per-stage "
+                        "backbone prefixes + LP-branch / pyramid "
+                        "ablations (random init — weight values do not "
+                        "change conv timing)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+
+    if args.trunk:
+        return trunk_profile(args)
 
     from yolo_tpu.config import builtin_spec
     from yolo_tpu.decode import (cls2ang, decode_car, decode_car_pallas,
@@ -203,6 +211,133 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(line, f, indent=2)
+    return rows
+
+
+
+
+def trunk_profile(args):
+    """Decompose the joint forward's 34 ms (reports/profile_pipeline.json)
+    into backbone stages, the car pyramid, and the 5-block LP branch.
+
+    Analytic FLOP counting says the LP branch (5 stacked detection blocks
+    at the stride-16 fused feature, models/yolov3.py:113-120, reference
+    car_and_LP/YOLO.py:69-77) is ~18 GFLOP/frame — more than the whole
+    backbone — so the decomposition decides whether the next MFU lever is
+    the branch, the early high-res stages, or the pyramid glue. Variants
+    are fresh random-init modules: conv timing is weight-value-independent.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.models.layers import (ConvBNLeaky, DarknetBlock,
+                                        YOLODetectionBlock, YOLOOutput,
+                                        upsample2x)
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    B, S, iters = args.batch, args.size, args.iters
+    spec = builtin_spec("carlp_v1").replace(size=[S, S])
+
+    class Variant(nn.Module):
+        """CarLPNet with ablatable parts. n_stages < len(layers) stops
+        the backbone early (prefix timing); lp_blocks / with_pyramid
+        ablate the heads."""
+        n_stages: int
+        lp_blocks: int = 0
+        with_pyramid: bool = False
+
+        @nn.compact
+        def __call__(self, x):
+            layers, channels = spec.layers, spec.channels
+            anchors = spec.all_anchors
+            num_levels = len(anchors)
+            routes = []
+            x = ConvBNLeaky(channels[0], 3, 1, dtype=dtype)(x, False)
+            for si in range(self.n_stages):
+                x = ConvBNLeaky(channels[si + 1], 3, 2, dtype=dtype)(
+                    x, False)
+                for _ in range(layers[si]):
+                    x = DarknetBlock(channels[si + 1] // 2,
+                                     dtype=dtype)(x, False)
+                if si >= len(layers) - num_levels:
+                    routes.append(x)
+            if not (self.with_pyramid or self.lp_blocks):
+                return (x,)
+            pyr_channels = channels[-num_levels:][::-1]
+            outs = []
+            for i in range(num_levels):
+                if i == num_levels - 1 and self.lp_blocks:
+                    lp = x
+                    for _ in range(self.lp_blocks):
+                        _, lp = YOLODetectionBlock(
+                            spec.channels[-3], dtype=dtype)(lp, False)
+                    outs.append(nn.Conv(
+                        spec.LP_slice_point[-1], (1, 1), dtype=dtype,
+                        param_dtype=jnp.float32)(lp))
+                if self.with_pyramid:
+                    route, tip = YOLODetectionBlock(
+                        pyr_channels[i], dtype=dtype)(x, False)
+                    outs.append(YOLOOutput(
+                        spec.slice_point[-1],
+                        len(anchors[::-1][i]), dtype=dtype)(tip))
+                if i == num_levels - 1:
+                    break
+                if self.with_pyramid:
+                    t = ConvBNLeaky(pyr_channels[i + 1], 1,
+                                    dtype=dtype)(route, False)
+                    t = upsample2x(t)
+                    x = jnp.concatenate([t, routes[::-1][i + 1]], -1)
+                else:
+                    x = routes[::-1][i + 1]
+            return tuple(outs)
+
+    key = jax.random.PRNGKey(0)
+    frames = jax.random.uniform(key, (B, S, S, 3), dtype)
+    rows, errors = {}, {}
+
+    def flush(partial=True):
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"backend": backend, "batch": B, "size": S,
+                           "mode": "trunk", "ms": rows,
+                           "errors": errors or None, "partial": partial},
+                          f, indent=2)
+
+    def run(name, variant):
+        try:
+            v = jax.jit(variant.init)(key, frames)
+            f = jax.jit(lambda vv, fr: variant.apply(vv, fr))
+            rows[name] = timeit(
+                f, (v, frames), iters,
+                lambda r: r[0].astype(jnp.float32).reshape(-1)[0])
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:400]
+            print(f"variant {name} FAILED: {errors[name]}")
+        flush()
+
+    n = len(spec.layers)
+    for k in range(1, n + 1):
+        run(f"backbone_stages_1..{k}", Variant(n_stages=k))
+    run("backbone+pyramid", Variant(n_stages=n, with_pyramid=True))
+    run("backbone+lp5", Variant(n_stages=n, lp_blocks=5))
+    run("backbone+pyramid+lp5 (full)",
+        Variant(n_stages=n, with_pyramid=True, lp_blocks=5))
+    run("backbone+pyramid+lp2", Variant(n_stages=n, with_pyramid=True,
+                                        lp_blocks=2))
+
+    print(f"\n| variant | ms/iter (B={B}, {S}x{S}, {backend}) |")
+    print("|---|---|")
+    prev = 0.0
+    for k, v in rows.items():
+        print(f"| {k} | {v:.2f} (+{v - prev:.2f}) |")
+        prev = v
+    flush(partial=False)
+    print(json.dumps({"backend": backend, "batch": B, "size": S,
+                      "mode": "trunk", "ms": rows,
+                      "errors": errors or None}))
     return rows
 
 
