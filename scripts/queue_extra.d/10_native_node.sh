@@ -27,8 +27,15 @@ xcommit() {
     git commit -m "$1" 2>&1 | tail -1 || true
 }
 
-if [ ! -f reports/transport_sol.json ]; then
-    $RS --name transport_sol --timeout 2400 --retries 1 --allow-fail \
+# transport_sol is NOT in the automatic drain: its warm execute wedged
+# twice on the chip (futex wait; see reports/logs/transport_sol.log) and
+# a hang here would re-fire on every drain_extra. Run it manually once
+# the queue is idle:
+#   python scripts/run_step.py --name transport_sol --timeout 900 \
+#       --artifact reports/transport_sol.json --check -- \
+#       python -m yolo_tpu.tools.transport_sol --out reports/transport_sol.json
+if [ "${YOLO_TPU_SOL:-0}" = "1" ] && [ ! -f reports/transport_sol.json ]; then
+    $RS --name transport_sol --timeout 900 --allow-fail \
         --artifact reports/transport_sol.json --check -- \
         python -m yolo_tpu.tools.transport_sol \
             --out reports/transport_sol.json

@@ -69,14 +69,21 @@ def export_programs(td: str):
     slice_mod = os.path.join(td, "slice.mlir")
     tile_mod = os.path.join(td, "tile.mlir")
     log("lowering slice program (all-h2d probe)")
-    export_stablehlo(lambda x: (x[:8],),
-                     (jax.ShapeDtypeStruct((BATCH8,), jnp.uint8),),
-                     slice_mod, platforms=["tpu"])
+    # a real reduction to a fresh f32 scalar: an x[:8] u8 output is a
+    # VIEW of the input buffer, and executing that program wedged the
+    # axon transport twice (reports/logs/transport_sol.log) — aliased /
+    # u8 outputs are off the node's proven path (f32 outputs only)
+    export_stablehlo(
+        lambda x: (jnp.sum(x.astype(jnp.float32)).reshape(1),),
+        (jax.ShapeDtypeStruct((BATCH8,), jnp.uint8),),
+        slice_mod, platforms=["tpu"])
     log("lowering tile program (all-d2h probe)")
-    reps = (D2H_BYTES + 1023) // 1024
-    export_stablehlo(lambda x: (jnp.tile(x, reps)[:D2H_BYTES],),
-                     (jax.ShapeDtypeStruct((1024,), jnp.uint8),),
-                     tile_mod, platforms=["tpu"])
+    n_out = D2H_BYTES // 4                   # f32 elements
+    reps = (n_out + 1023) // 1024
+    export_stablehlo(
+        lambda x: (jnp.tile(x.astype(jnp.float32), reps)[:n_out] * 0.5,),
+        (jax.ShapeDtypeStruct((1024,), jnp.uint8),),
+        tile_mod, platforms=["tpu"])
     return slice_mod, tile_mod
 
 
