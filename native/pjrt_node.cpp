@@ -235,13 +235,14 @@ int main(int argc, char** argv) {
   std::vector<std::vector<float>> bufs(depth, std::vector<float>(fbuf_sz));
   std::vector<std::vector<uint8_t>> ubufs(depth,
                                           std::vector<uint8_t>(ubuf_sz));
-  // nv12: rank-3 (B, fh*3/2, fw) u8; u8: (B, fh, fw, 3); f32: (B, nh, nw, 3)
+  // nv12 rides rank-4 (B, fh/2, fw, 3) u8 — the same linear bytes as
+  // the packed (B, fh*3/2, fw) planes; the transport rejects rank-3 u8
+  // (InvalidArgument at execute). u8: (B, fh, fw, 3); f32: (B, nh, nw, 3)
   const int64_t dims[4] = {batch,
-                           nv12_input ? static_cast<int64_t>(fh) * 3 / 2
-                                      : (u8_input ? fh : nh),
+                           nv12_input ? fh / 2 : (u8_input ? fh : nh),
                            u8_input ? fw : nw, 3};
   const int64_t* dimp[1] = {dims};
-  const int ndims[1] = {nv12_input ? 3 : 4};
+  const int ndims[1] = {4};
   const int types[1] = {u8_input ? 2 : 0};  // u8 | f32
 
   int dispatched = 0, harvested = 0;

@@ -398,11 +398,15 @@ def test_serving_fn_nv12_wiring(tmp_path):
     fn = make_serving_fn(pipe, unflatten, u8_hw=(fh, fw), nv12=True)
 
     rng = np.random.default_rng(0)
+    # wire shape: rank-4 (B, fh//2, fw, 3) — same linear bytes as the
+    # packed planes (the axon transport rejects rank-3 u8 inputs)
     frames = rgb_to_nv12(
-        rng.integers(0, 256, (2, fh, fw, 3)).astype(np.uint8))
+        rng.integers(0, 256, (2, fh, fw, 3)).astype(np.uint8)).reshape(
+        2, fh // 2, fw, 3)
     got = fn(jnp.asarray(frames), jnp.asarray(flat))[0]
 
-    rgb = nv12_to_rgb(jnp.asarray(frames), (fh, fw))
+    rgb = nv12_to_rgb(jnp.asarray(frames).reshape(2, fh * 3 // 2, fw),
+                      (fh, fw))
     dy, dx = (nh - fh) // 2, (nw - fw) // 2
     boxed = jnp.pad(rgb, ((0, 0), (dy, nh - fh - dy),
                           (dx, nw - fw - dx), (0, 0)),

@@ -119,12 +119,16 @@ def make_serving_fn(pipe, unflatten, u8_hw=None, nv12: bool = False):
     /255 bit-matches framepipe's fp_ring_pop_batch (4x less H2D than
     f32 batches).
 
-    ``nv12=True`` (requires ``u8_hw``): frames arrive as packed NV12
-    (B, fh*3//2, fw) u8 — the native wire format of camera stacks —
-    and the BT.601 conversion runs on device (ops.image.nv12_to_rgb).
-    1.5 bytes/px instead of 3: on the bandwidth-bound serving
-    transport this doubles the frame-rate ceiling
-    (reports/transport_sol.json)."""
+    ``nv12=True`` (requires ``u8_hw``): frames arrive as packed NV12 —
+    the native wire format of camera stacks — and the BT.601 conversion
+    runs on device (ops.image.nv12_to_rgb). 1.5 bytes/px instead of 3:
+    on the bandwidth-bound serving transport this doubles the
+    frame-rate ceiling. WIRE SHAPE: the NV12 bytes ride as a rank-4
+    (B, fh//2, fw, 3) u8 tensor — the same linear bytes as the packed
+    (B, fh*3//2, fw) planes (C-order reshape), but rank-4 image-shaped:
+    the axon transport rejected a rank-3 u8 input with InvalidArgument
+    at execute (reports/logs/pjrt_node_nv12_b8.log attempt 0) while
+    every proven node path streams rank-4."""
     import jax.numpy as jnp
 
     from yolo_tpu.ops.image import nv12_to_rgb
@@ -136,7 +140,9 @@ def make_serving_fn(pipe, unflatten, u8_hw=None, nv12: bool = False):
             fh, fw = u8_hw
             dy, dx = (nh - fh) // 2, (nw - fw) // 2
             if nv12:
-                x = nv12_to_rgb(frames, (fh, fw))
+                x = nv12_to_rgb(
+                    frames.reshape(frames.shape[0], fh * 3 // 2, fw),
+                    (fh, fw))
             else:
                 x = frames.astype(jnp.float32) / 255.0
             frames = jnp.pad(
@@ -171,7 +177,7 @@ def export_serving(pipe, joint_variables, ocr_variables, export_dir: str,
     fn = make_serving_fn(pipe, unflatten, u8_hw=(fh, fw) if u8 else None,
                          nv12=nv12)
     if nv12:
-        in_shape = (batch, fh * 3 // 2, fw)
+        in_shape = (batch, fh // 2, fw, 3)
     elif u8:
         in_shape = (batch, fh, fw, 3)
     else:

@@ -454,9 +454,13 @@ def main(argv=None):
         if args.nv12:
             # the wire array IS the NV12 bytes from here on: the raw
             # stream file, the node input and the jax reference all
-            # consume the identical packed frames
+            # consume the identical frames. Wire shape is rank-4
+            # (B, fh//2, fw, 3) — same linear bytes as the packed
+            # (B, fh*3//2, fw) planes; the axon transport rejects
+            # rank-3 u8 inputs (InvalidArgument at execute)
             from yolo_tpu.ops.image import rgb_to_nv12
-            frames_u8 = rgb_to_nv12(frames_u8)
+            frames_u8 = rgb_to_nv12(frames_u8).reshape(
+                n_frames, fh // 2, fw, 3)
     else:
         fh = fw = 96
         nh = nw = 128
@@ -479,7 +483,7 @@ def main(argv=None):
             jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
             for l in leaves)
         if args.nv12:
-            in_spec = jnp.zeros((B, fh * 3 // 2, fw), jnp.uint8)
+            in_spec = jnp.zeros((B, fh // 2, fw, 3), jnp.uint8)
         elif args.u8:
             in_spec = jnp.zeros((B, fh, fw, 3), jnp.uint8)
         else:

@@ -17,9 +17,10 @@ SAME C++ shim the node uses (native/pjrt_shim.cpp):
 
 Process layout mirrors tools.pjrt_node_demo: the PARENT only lowers the
 two probe programs to StableHLO with jax (CPU-pinned) and then spawns a
-jax-free WORKER subprocess that does every PJRT call through ctypes —
-an in-process mix of an imported jax and a ctypes-dlopened axon plugin
-wedges on client creation (observed: futex wait in ps_create).
+jax-free WORKER subprocess that does every PJRT call through ctypes.
+(The first on-chip attempts wedged in the warm execute — futex wait,
+reports/logs/transport_sol.log; the clean-subprocess split plus
+non-aliasing f32 probe outputs are the two suspects addressed.)
 
 The JSON it writes is the speed-of-light table the node's FPS is gated
 by: predicted_fps = h2d_bandwidth / bytes_per_frame. Compare with the
