@@ -236,8 +236,8 @@ int main(int argc, char** argv) {
   std::vector<std::vector<uint8_t>> ubufs(depth,
                                           std::vector<uint8_t>(ubuf_sz));
   // nv12 rides rank-4 (B, fh/2, fw, 3) u8 — the same linear bytes as
-  // the packed (B, fh*3/2, fw) planes; the transport rejects rank-3 u8
-  // (InvalidArgument at execute). u8: (B, fh, fw, 3); f32: (B, nh, nw, 3)
+  // the packed (B, fh*3/2, fw) planes, so the dims path stays the
+  // proven u8 one. u8: (B, fh, fw, 3); f32: (B, nh, nw, 3)
   const int64_t dims[4] = {batch,
                            nv12_input ? fh / 2 : (u8_input ? fh : nh),
                            u8_input ? fw : nw, 3};

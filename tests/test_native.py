@@ -399,7 +399,7 @@ def test_serving_fn_nv12_wiring(tmp_path):
 
     rng = np.random.default_rng(0)
     # wire shape: rank-4 (B, fh//2, fw, 3) — same linear bytes as the
-    # packed planes (the axon transport rejects rank-3 u8 inputs)
+    # packed planes; one ring slot of height fh/2 is one NV12 frame
     frames = rgb_to_nv12(
         rng.integers(0, 256, (2, fh, fw, 3)).astype(np.uint8)).reshape(
         2, fh // 2, fw, 3)

@@ -125,10 +125,10 @@ def make_serving_fn(pipe, unflatten, u8_hw=None, nv12: bool = False):
     on the bandwidth-bound serving transport this doubles the
     frame-rate ceiling. WIRE SHAPE: the NV12 bytes ride as a rank-4
     (B, fh//2, fw, 3) u8 tensor — the same linear bytes as the packed
-    (B, fh*3//2, fw) planes (C-order reshape), but rank-4 image-shaped:
-    the axon transport rejected a rank-3 u8 input with InvalidArgument
-    at execute (reports/logs/pjrt_node_nv12_b8.log attempt 0) while
-    every proven node path streams rank-4."""
+    (B, fh*3//2, fw) planes (C-order reshape). Image-shaped rank-4
+    keeps the native node's ring/pop/dims path byte-for-byte identical
+    to the proven u8-RGB mode (one ring slot of height fh/2 IS one
+    NV12 frame)."""
     import jax.numpy as jnp
 
     from yolo_tpu.ops.image import nv12_to_rgb

@@ -456,8 +456,9 @@ def main(argv=None):
             # stream file, the node input and the jax reference all
             # consume the identical frames. Wire shape is rank-4
             # (B, fh//2, fw, 3) — same linear bytes as the packed
-            # (B, fh*3//2, fw) planes; the axon transport rejects
-            # rank-3 u8 inputs (InvalidArgument at execute)
+            # (B, fh*3//2, fw) planes, and exactly one framepipe ring
+            # slot of height fh/2, so the node's ring/pop/dims path is
+            # IDENTICAL to the proven u8 mode
             from yolo_tpu.ops.image import rgb_to_nv12
             frames_u8 = rgb_to_nv12(frames_u8).reshape(
                 n_frames, fh // 2, fw, 3)
@@ -503,7 +504,9 @@ def main(argv=None):
                        axon_create_options_env(args.plugin))
         argv = [binary, args.plugin, module, str(fh), str(fw), str(nh),
                 str(nw), str(B), raw, str(n_batches), weights_bin,
-                dump_dir, "u8" if args.u8 else "f32", str(args.depth)]
+                dump_dir,
+                "nv12" if args.nv12 else ("u8" if args.u8 else "f32"),
+                str(args.depth)]
         r = subprocess.run(argv, capture_output=True, text=True,
                            timeout=1800, env=env)
         print(r.stdout)
