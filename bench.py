@@ -129,6 +129,14 @@ def main():
     spec = spec.replace(size=[448, 448])
     ocr_spec = builtin_spec("ocr_v1")
 
+    # YOLO_TPU_S2D=1: run the space-to-depth stem (models/s2d.py) — an
+    # exact no-retraining remap of the first two convs; trained weights
+    # are converted after restore (pack_stem_variables). Opt-in until
+    # the chip A/B records the win (docs/MFU_CLOSEOUT.md).
+    use_s2d = os.environ.get("YOLO_TPU_S2D", "0") == "1"
+    if use_s2d:
+        spec = spec.replace(s2d_stem=True)
+
     joint_task = make_task("carlp", spec, dtype=dtype)
     ocr_task = make_task("ocr", ocr_spec, dtype=dtype)
     key = jax.random.PRNGKey(0)
@@ -155,7 +163,19 @@ def main():
             weight_provenance[slot] = f"random-init (restore failed: {path})"
             return variables
     if joint_dir is not None:
-        jv = try_restore(jv, joint_dir, "joint")
+        if use_s2d:
+            # restore the UNPACKED checkpoint into an unpacked template,
+            # then convert — the packed init above has the wrong shapes
+            # for orbax restore
+            plain_task = make_task(
+                "carlp", spec.replace(s2d_stem=False), dtype=dtype)
+            plain = try_restore(plain_task.init_variables(key),
+                                joint_dir, "joint")
+            if weight_provenance["joint"] == joint_dir:
+                from yolo_tpu.models.s2d import pack_stem_variables
+                jv = pack_stem_variables(plain)
+        else:
+            jv = try_restore(jv, joint_dir, "joint")
     for ocr_dir in ("trained/ocr_v3", "trained/ocr_v2",
                     "trained/ocr_v1_cascade"):
         if os.path.isdir(ocr_dir):
@@ -203,6 +223,7 @@ def main():
         "batch": batch,
         "backend": backend,
         "warp_impl": pipe.warp_impl,
+        "s2d_stem": use_s2d,
         "weights": weight_provenance,
         "spec": spec_src,
     }))

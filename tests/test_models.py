@@ -103,3 +103,49 @@ def test_jit_forward(rngkey):
     f = jax.jit(lambda v, x: model.apply(v, x, train=False))
     outs = f(variables, x)
     assert outs[0].shape == (1, (64 // 16) * (128 // 16), 3, 30)
+
+
+def test_s2d_stem_exact_remap():
+    """spec.s2d_stem + pack_stem_variables must reproduce the original
+    forward EXACTLY (same arithmetic, repacked layout — models/s2d.py).
+    This is the no-retraining contract: trained checkpoints convert."""
+    import jax
+    import numpy as np
+
+    from tests.test_pipeline import tiny_carlp_spec
+    from yolo_tpu.models.s2d import pack_stem_variables, space_to_depth
+    from yolo_tpu.train.tasks import make_task
+
+    spec = tiny_carlp_spec()
+    task = make_task("carlp", spec)
+    key = jax.random.PRNGKey(7)
+    variables = task.init_variables(key)
+    x = jax.random.uniform(key, (2,) + tuple(spec.size) + (3,))
+
+    car_ref, lp_ref = jax.jit(task.apply_eval)(variables, x)
+
+    s2d_spec = spec.replace(s2d_stem=True)
+    s2d_task = make_task("carlp", s2d_spec)
+    s2d_vars = pack_stem_variables(variables)
+    car_s2d, lp_s2d = jax.jit(s2d_task.apply_eval)(s2d_vars, x)
+
+    for a, b in zip(car_ref, car_s2d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lp_ref), np.asarray(lp_s2d),
+                               rtol=2e-4, atol=2e-4)
+
+    # packed-shape sanity: init of the s2d model matches the converted
+    # tree leaf-for-leaf (shape/dtype), so checkpoints restore cleanly
+    s2d_init = s2d_task.init_variables(key)
+    ref_shapes = jax.tree_util.tree_map(lambda l: l.shape, s2d_init)
+    got_shapes = jax.tree_util.tree_map(lambda l: l.shape, s2d_vars)
+    assert ref_shapes == got_shapes
+
+    # space_to_depth channel convention: (bi*2+bj)*C + c
+    img = np.arange(2 * 4 * 4 * 3).reshape(2, 4, 4, 3).astype(np.float32)
+    packed = np.asarray(space_to_depth(img))
+    np.testing.assert_array_equal(packed[0, 0, 0, :3], img[0, 0, 0])
+    np.testing.assert_array_equal(packed[0, 0, 0, 3:6], img[0, 0, 1])
+    np.testing.assert_array_equal(packed[0, 0, 0, 6:9], img[0, 1, 0])
+    np.testing.assert_array_equal(packed[0, 0, 0, 9:12], img[0, 1, 1])

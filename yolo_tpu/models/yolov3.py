@@ -24,6 +24,7 @@ from yolo_tpu.config import Spec
 from yolo_tpu.models.layers import (ConvBNLeaky, DarknetBlock,
                                     YOLODetectionBlock, YOLOOutput,
                                     upsample2x)
+from yolo_tpu.models.s2d import space_to_depth
 
 
 class YOLOv3Net(nn.Module):
@@ -41,11 +42,27 @@ class YOLOv3Net(nn.Module):
         slice_last = spec.slice_point[-1]
 
         # ---- backbone ----
+        # spec key `s2d_stem: true` runs the first two convs on a
+        # space-to-depth packed layout — an exact remap of the trained
+        # weights (models/s2d.py; the 448-square 16-channel conv0 is
+        # the forward's biggest roofline hole, docs/MFU_CLOSEOUT.md)
+        s2d = bool(spec.get("s2d_stem", False))
         routes = []
-        x = ConvBNLeaky(channels[0], 3, 1, dtype=self.dtype)(x, train)
+        if s2d:
+            x = space_to_depth(x)
+            x = ConvBNLeaky(channels[0] * 4, 3, 1, dtype=self.dtype)(
+                x, train)
+        else:
+            x = ConvBNLeaky(channels[0], 3, 1, dtype=self.dtype)(x, train)
         num_stages = len(layers)
         for si, (nlayer, ch) in enumerate(zip(layers, channels[1:])):
-            x = ConvBNLeaky(ch, 3, 2, dtype=self.dtype)(x, train)
+            if s2d and si == 0:
+                # packed stage-1 downsample: 2x2 stride-1 over the
+                # packed grid == 3x3 stride-2 over raw; emits the
+                # ORIGINAL unpacked feature map
+                x = ConvBNLeaky(ch, 2, 1, dtype=self.dtype)(x, train)
+            else:
+                x = ConvBNLeaky(ch, 3, 2, dtype=self.dtype)(x, train)
             for _ in range(nlayer):
                 x = DarknetBlock(ch // 2, dtype=self.dtype)(x, train)
             if si >= num_stages - num_levels:
@@ -96,11 +113,20 @@ class CarLPNet(nn.Module):
         lp_channels = channels[-3]
         lp_out_ch = spec.LP_slice_point[-1]
 
+        s2d = bool(spec.get("s2d_stem", False))   # see YOLOv3Net
         routes = []
-        x = ConvBNLeaky(channels[0], 3, 1, dtype=self.dtype)(x, train)
+        if s2d:
+            x = space_to_depth(x)
+            x = ConvBNLeaky(channels[0] * 4, 3, 1, dtype=self.dtype)(
+                x, train)
+        else:
+            x = ConvBNLeaky(channels[0], 3, 1, dtype=self.dtype)(x, train)
         num_stages = len(layers)
         for si, (nlayer, ch) in enumerate(zip(layers, channels[1:])):
-            x = ConvBNLeaky(ch, 3, 2, dtype=self.dtype)(x, train)
+            if s2d and si == 0:
+                x = ConvBNLeaky(ch, 2, 1, dtype=self.dtype)(x, train)
+            else:
+                x = ConvBNLeaky(ch, 3, 2, dtype=self.dtype)(x, train)
             for _ in range(nlayer):
                 x = DarknetBlock(ch // 2, dtype=self.dtype)(x, train)
             if si >= num_stages - num_levels:
