@@ -354,8 +354,11 @@ def _compute_ref_batches(args, fh, fw, nh, nw, frames_u8, fn, leaves):
                              ("--nv12", args.nv12)):
                 if on:
                     argv.append(flag)
+            # cold carlp compiles on the chip can exceed 30 min (the
+            # b16 nv12 ref worker died at exactly 1800 s); the queue's
+            # run_step timeout is the real deadline
             r = subprocess.run(argv, capture_output=True, text=True,
-                               timeout=1800)
+                               timeout=3000)
             if r.returncode == 0 and os.path.exists(ref_npz):
                 data = np.load(ref_npz)
                 n_out = len(ref_batch_keys(data))
