@@ -176,7 +176,7 @@ def main():
                 jv = pack_stem_variables(plain)
         else:
             jv = try_restore(jv, joint_dir, "joint")
-    for ocr_dir in ("trained/ocr_v3", "trained/ocr_v2",
+    for ocr_dir in ("trained/ocr_v4", "trained/ocr_v3", "trained/ocr_v2",
                     "trained/ocr_v1_cascade"):
         if os.path.isdir(ocr_dir):
             ov = try_restore(ov, ocr_dir, "ocr")
