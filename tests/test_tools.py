@@ -274,3 +274,25 @@ def test_profiler_survives_stage_failure(tmp_path, monkeypatch):
     assert all("synthetic stage failure" in v
                for k, v in data["errors"].items() if k != "trace")
     assert data["partial"] is False          # main() ran to completion
+
+
+def test_ocr_operating_point_host_decode_matches_decode_ocr():
+    """The sweep tool re-implements decode.decode_ocr's peak rule on host
+    (so one device run can be re-thresholded for free); lock the two
+    implementations together at the tool's default 0.6 point."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from yolo_tpu.decode import decode_ocr, peaks_to_text
+    from yolo_tpu.ops.math import sigmoid
+    from yolo_tpu.tools.ocr_operating_point import text_at
+
+    rng = np.random.default_rng(7)
+    score_logits = rng.normal(0.5, 2.0, (16, 24)).astype(np.float32)
+    class_logits = rng.normal(0.0, 1.0, (16, 24, 34)).astype(np.float32)
+
+    dec = decode_ocr(jnp.asarray(score_logits), jnp.asarray(class_logits))
+    s = np.asarray(sigmoid(jnp.asarray(score_logits)))
+    cls = class_logits.argmax(-1)
+    for i in range(16):
+        assert text_at(s[i], cls[i], 0.6) == peaks_to_text(dec.peak_cls[i])
