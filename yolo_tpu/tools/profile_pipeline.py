@@ -48,6 +48,10 @@ def main(argv=None):
                         "backbone prefixes + LP-branch / pyramid "
                         "ablations (random init — weight values do not "
                         "change conv timing)")
+    p.add_argument("--s2d", action="store_true",
+                   help="profile with the space-to-depth stem "
+                        "(spec s2d_stem=true; exact remap, so random-init "
+                        "timing is representative — models/s2d.py)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -92,6 +96,8 @@ def main(argv=None):
         flush()
 
     spec = builtin_spec("carlp_v1").replace(size=[S, S])
+    if args.s2d:
+        spec = spec.replace(s2d_stem=True)
     ocr_spec = builtin_spec("ocr_v1")
     joint_task = make_task("carlp", spec, dtype=dtype)
     ocr_task = make_task("ocr", ocr_spec, dtype=dtype)
@@ -205,6 +211,7 @@ def main(argv=None):
         print(f"| MFU (full pipeline, {backend} bf16 peak) | "
               f"{mfu * 100:.1f}% | |")
     line = {"backend": backend, "batch": B, "size": S, "ms": rows,
+            "s2d_stem": bool(args.s2d),
             "mfu_full_pipeline": mfu, "errors": errors or None,
             "partial": False}
     print(json.dumps(line))
