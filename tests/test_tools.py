@@ -296,3 +296,37 @@ def test_ocr_operating_point_host_decode_matches_decode_ocr():
     cls = class_logits.argmax(-1)
     for i in range(16):
         assert text_at(s[i], cls[i], 0.6) == peaks_to_text(dec.peak_cls[i])
+
+
+@pytest.mark.slow
+def test_ocr_operating_point_end_to_end(tmp_path):
+    """Tiny end-to-end run of the operating-point sweep on random-init
+    weights: artifact schema + counts must be consistent (accuracy is
+    meaningless at random init — only the plumbing is under test)."""
+    import json as _json
+
+    import numpy as np
+
+    from yolo_tpu.config import builtin_spec
+    from yolo_tpu.tools import ocr_operating_point as oop
+    from yolo_tpu.train import make_task
+    from yolo_tpu.train.checkpoint import save_checkpoint
+
+    # random-init checkpoints in the packaged-weights layout
+    import jax
+    for name, spec in (("lp", "lp_v2"), ("ocr", "ocr_v1")):
+        task = make_task(name, builtin_spec(spec))
+        v = task.init_variables(jax.random.PRNGKey(0))
+        save_checkpoint(str(tmp_path / name), v, step=0)
+
+    out = tmp_path / "oop.json"
+    oop.main(["--lp", str(tmp_path / "lp"), "--ocr", str(tmp_path / "ocr"),
+              "--batches", "1", "--batch", "2",
+              "--thresholds", "0.5,0.6", "--out", str(out)])
+    d = _json.loads(out.read_text())
+    assert d["samples"] == 2
+    assert set(d["sweep"]) == {"0.5", "0.6"}
+    assert d["failures_at_0.6"] == (d["failures_peak_count"]
+                                    + d["failures_substitution"])
+    for v in d["sweep"].values():
+        assert 0.0 <= v["exact"] <= 1.0 and 0.0 <= v["char"] <= 1.0
