@@ -88,12 +88,23 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    # default 128 = the round-4 sweep optimum (reports/bench_b128.json
-    # 1700 FPS vs 1639 at 96, 1435 at 64); YOLO_TPU_BENCH_BATCH
-    # overrides for throughput/batch sweeps without changing the
-    # driver-invoked default
-    batch = int(os.environ.get("YOLO_TPU_BENCH_BATCH",
-                               "128" if on_tpu else "4"))
+    # Defaults: the best MEASURED operating point. reports/
+    # bench_defaults.json is written by the session queue
+    # (scripts/queue_extra.d/05_pick_bench_point.sh) as the argmax over
+    # this session's committed bench artifacts, so a bare `python
+    # bench.py` (the driver invocation) runs the fastest configuration
+    # that has actually been recorded. Fallback: batch 128, stock stem
+    # (the round-4 sweep optimum — reports/bench_b128.json, 1700 FPS vs
+    # 1639 at 96, 1435 at 64). Env vars override both for sweeps.
+    picked = {}
+    try:
+        with open("reports/bench_defaults.json") as f:
+            picked = json.load(f)
+    except Exception:
+        pass
+    batch = int(os.environ.get(
+        "YOLO_TPU_BENCH_BATCH",
+        str(picked.get("batch", 128)) if on_tpu else "4"))
     iters = 50 if on_tpu else 3
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
@@ -131,9 +142,12 @@ def main():
 
     # YOLO_TPU_S2D=1: run the space-to-depth stem (models/s2d.py) — an
     # exact no-retraining remap of the first two convs; trained weights
-    # are converted after restore (pack_stem_variables). Opt-in until
-    # the chip A/B records the win (docs/MFU_CLOSEOUT.md).
-    use_s2d = os.environ.get("YOLO_TPU_S2D", "0") == "1"
+    # are converted after restore (pack_stem_variables). Default comes
+    # from the measured pick (bench_defaults.json) once the chip A/B
+    # has recorded it (docs/MFU_CLOSEOUT.md); env overrides.
+    use_s2d = os.environ.get(
+        "YOLO_TPU_S2D",
+        "1" if (on_tpu and picked.get("s2d")) else "0") == "1"
     if use_s2d:
         spec = spec.replace(s2d_stem=True)
 

@@ -1,0 +1,48 @@
+#!/bin/bash
+# Runs first on every queue_extra drain (cheap, idempotent): pick the
+# fastest MEASURED bench configuration among THIS session's sweep
+# artifacts and write it to reports/bench_defaults.json, which
+# bench.py reads as its default (batch + s2d stem). The phase-8 final
+# bench and the driver's end-of-round `python bench.py` therefore run
+# the best configuration that has actually been recorded — never a
+# projection. Cross-session artifacts (bench_b128.json from round 4)
+# are excluded: different VM/contention.
+cd /root/repo
+python - <<'PY'
+import json, os
+
+cands = ["reports/bench_b128_r5.json", "reports/bench_s2d.json",
+         "reports/bench_b160.json", "reports/bench_b192.json"]
+best = None
+for c in cands:
+    try:
+        with open(c) as f:
+            d = json.load(f)
+        if best is None or d["value"] > best[1]["value"]:
+            best = (c, d)
+    except Exception:
+        continue
+if best is None:
+    raise SystemExit(0)
+src, d = best
+pick = {"batch": int(d.get("batch", 128)),
+        "s2d": bool(d.get("s2d_stem", False)),
+        "source": src, "value": d["value"]}
+path = "reports/bench_defaults.json"
+old = None
+try:
+    with open(path) as f:
+        old = json.load(f)
+except Exception:
+    pass
+if old != pick:
+    with open(path, "w") as f:
+        json.dump(pick, f, indent=1)
+    print("bench_defaults ->", pick)
+PY
+if ! git diff --quiet -- reports/bench_defaults.json 2>/dev/null \
+        || [ -n "$(git status --porcelain reports/bench_defaults.json 2>/dev/null)" ]; then
+    git add reports/bench_defaults.json 2>/dev/null
+    git commit -m "Bench defaults: adopt best measured sweep point" \
+        2>&1 | tail -1 || true
+fi
