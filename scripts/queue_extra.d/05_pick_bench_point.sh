@@ -12,6 +12,7 @@ python - <<'PY'
 import json, os
 
 cands = ["reports/bench_b128_r5.json", "reports/bench_s2d.json",
+         "reports/bench_hybrid.json",
          "reports/bench_b160.json", "reports/bench_b192.json"]
 best = None
 for c in cands:
