@@ -31,3 +31,4 @@ if [ "$HB" != "0" ]; then
     git commit -m "Hybrid bench point: s2d stem at the sweep-winning batch" \
         2>&1 | tail -1 || true
 fi
+bash scripts/queue_extra.d/05_pick_bench_point.sh
